@@ -103,6 +103,15 @@ def _canonicalize(lo, hi):
     return jnp.where(ge, slo, lo), jnp.where(ge, shi, hi)
 
 
+def _reduce160(n0, n1, n2, n3, n4):
+    """Reduce a 160-bit value mod p using 2^128 = -2^32 (mod p)."""
+    lo, hi = _reduce128(n0, n1, n2, n3)
+    # subtract n4 * 2^32 (a 64-bit value (0, n4)); borrow => add p back
+    slo, shi, borrow = _sub64(lo, hi, jnp.zeros_like(n4), n4)
+    slo, shi, _ = _add64(slo, shi, borrow * _P_LO, borrow * _P_HI)
+    return slo, shi
+
+
 def _reduce128(n0, n1, n2, n3):
     """Reduce a 128-bit value (n0 lowest limb) mod p -> canonical (lo, hi).
 
@@ -143,12 +152,17 @@ def ones(shape=()):
     return jnp.asarray(z)
 
 
-def from_int(values) -> jnp.ndarray:
-    """Host-side: python ints / numpy array (any int dtype, values < p) -> stacked repr."""
+def from_int_np(values) -> np.ndarray:
+    """Host-side numpy variant (safe to cache across jit traces)."""
     arr = np.asarray(values, dtype=np.uint64)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (arr >> np.uint64(32)).astype(np.uint32)
-    return jnp.asarray(np.stack([lo, hi], axis=-1))
+    return np.stack([lo, hi], axis=-1)
+
+
+def from_int(values) -> jnp.ndarray:
+    """Host-side: python ints / numpy array (any int dtype, values < p) -> stacked repr."""
+    return jnp.asarray(from_int_np(values))
 
 
 def to_int(x) -> np.ndarray:

@@ -40,7 +40,7 @@ def _twiddles(log_n: int, inverse: bool) -> tuple:
     for s in range(log_n):
         m = 1 << s  # half-block size at this stage
         stride = n // (2 * m)
-        stages.append(gl.from_int(pows[: m * stride : stride].copy()))
+        stages.append(gl.from_int_np(pows[: m * stride : stride].copy()))
     return tuple(stages)
 
 

@@ -24,6 +24,7 @@ import functools
 import hashlib
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..field import goldilocks as gl
@@ -73,9 +74,9 @@ def mds_matrix() -> tuple:
 
 @functools.lru_cache(maxsize=None)
 def _device_constants():
+    """numpy constants (cached as numpy: safe across jit traces)."""
     rc = np.array(round_constants(), dtype=np.uint64).reshape(N_ROUNDS, WIDTH)
-    mds = np.array(mds_matrix(), dtype=np.uint64)
-    return gl.from_int(rc), gl.from_int(mds)
+    return gl.from_int_np(rc), None
 
 
 def _sbox(x):
@@ -85,47 +86,137 @@ def _sbox(x):
     return gl.mul(x6, x)
 
 
-def _mds_layer(state, mds):
-    """state: (..., 12, 2); mds: (12, 12, 2) -> (..., 12, 2).
+_LIMB_BITS = 7
+_N_LIMBS = 10  # ceil(64 / 7)
+_N_BUCKETS = 2 * _N_LIMBS - 1  # 19
 
-    out[i] = sum_j mds[i, j] * state[j], as a broadcast multiply over a new
-    row axis followed by a log-tree reduction (keeps everything in u32 ops).
+
+@functools.lru_cache(maxsize=None)
+def _mds_limb_tensor():
+    """(12, 12, 10, 19) int8: M2[i,j,l,s] = limb_{s-l}(mds[i][j]).
+
+    Lets the whole MDS matvec + limb cross-products collapse into ONE
+    integer einsum: bucket[b,i,s] = sum_{j,l} state_limb[b,j,l]*M2[i,j,l,s].
+    7-bit limbs keep every product and the 120-term contraction within
+    int32 (and the int8 operands feed the MXU on TPU).
     """
-    prod = gl.mul(state[..., None, :, :], mds)  # (..., 12row, 12col, 2)
-    acc = prod
-    n = WIDTH
-    # pad to 16 for a clean halving tree
-    pad = [(0, 0)] * (acc.ndim - 3) + [(0, 0), (0, 16 - n), (0, 0)]
-    acc = jnp.pad(acc, pad)
-    k = 16
-    while k > 1:
-        k //= 2
-        acc = gl.add(acc[..., :k, :], acc[..., k:2 * k, :])
-    return acc[..., 0, :]
+    mds = mds_matrix()
+    m2 = np.zeros((WIDTH, WIDTH, _N_LIMBS, _N_BUCKETS), dtype=np.int8)
+    for i in range(WIDTH):
+        for j in range(WIDTH):
+            v = mds[i][j]
+            limbs = [(v >> (_LIMB_BITS * m)) & 0x7F for m in range(_N_LIMBS)]
+            for l in range(_N_LIMBS):
+                for m in range(_N_LIMBS):
+                    m2[i, j, l, l + m] = limbs[m]
+    return m2
+
+
+def _to_limbs(state):
+    """(..., 12, 2) u32 pairs -> (..., 12, 10) int8 7-bit limbs."""
+    lo = state[..., 0]
+    hi = state[..., 1]
+    mask = jnp.uint32(0x7F)
+    limbs = []
+    for m in range(_N_LIMBS):
+        s = _LIMB_BITS * m
+        if s + _LIMB_BITS <= 32:
+            limb = (lo >> s) & mask
+        elif s >= 32:
+            limb = (hi >> (s - 32)) & mask
+        else:
+            limb = ((lo >> s) | (hi << (32 - s))) & mask
+        limbs.append(limb)
+    return jnp.stack(limbs, axis=-1).astype(jnp.int8)
+
+
+def _from_buckets(buckets):
+    """(..., 12, 19) int32 bucket sums -> (..., 12, 2) canonical field elems.
+
+    value = sum_s bucket_s * 2^(7s)  (a <2^148 integer), accumulated into
+    five u32 limbs with carry chains, then reduced mod p.
+    """
+    b32 = buckets.astype(jnp.uint32)
+    shape = buckets.shape[:-1]
+    L = [jnp.zeros(shape, dtype=jnp.uint32) for _ in range(5)]
+
+    def acc(idx, v):
+        for k in range(idx, 5):
+            L[k], carry = gl._addc(L[k], v)
+            v = carry
+        # carries cannot escape limb 4 (value < 2^160)
+
+    for s in range(_N_BUCKETS):
+        pos = _LIMB_BITS * s
+        li, off = pos >> 5, pos & 31
+        b = b32[..., s]
+        if off == 0:
+            acc(li, b)
+        else:
+            acc(li, b << off)
+            acc(li + 1, b >> (32 - off))
+    lo, hi = gl._reduce160(*L)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+def _mds_layer(state, mds=None):
+    """state: (..., 12, 2) -> (..., 12, 2); out[i] = sum_j mds[i,j]*state[j]."""
+    limbs = _to_limbs(state)
+    buckets = jnp.einsum(
+        "...jl,ijls->...is",
+        limbs,
+        _mds_limb_tensor(),
+        preferred_element_type=jnp.int32,
+    )
+    return _from_buckets(buckets)
+
+
+def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
+    rc, _ = _device_constants()
+    half = FULL_ROUNDS // 2
+    s = state
+    for r in range(half):
+        s = gl.add(s, rc[r])
+        s = _sbox(s)
+        s = _mds_layer(s)
+    for r in range(half, half + PARTIAL_ROUNDS):
+        s = gl.add(s, rc[r])
+        lane0 = _sbox(s[..., 0:1, :])
+        s = jnp.concatenate([lane0, s[..., 1:, :]], axis=-2)
+        s = _mds_layer(s)
+    for r in range(half + PARTIAL_ROUNDS, N_ROUNDS):
+        s = gl.add(s, rc[r])
+        s = _sbox(s)
+        s = _mds_layer(s)
+    return s
+
+
+_permute_jit = jax.jit(_permute_impl)
+
+# Batch size at/above which the jitted permutation is used. Small batches run
+# eagerly: XLA-CPU compiles this graph slowly, and eager per-op dispatch is
+# cheap relative to tiny array work (tests). Large batches (the prover hot
+# path, bench) amortize one cached compile. Override with JIT_THRESHOLD.
+JIT_THRESHOLD = 2048
+
+
+def _batch_size(shape) -> int:
+    n = 1
+    for d in shape:
+        n *= d
+    return n
 
 
 def permute(state: jnp.ndarray) -> jnp.ndarray:
-    """Poseidon permutation, batched. state: (..., 12, 2) uint32 limbs."""
-    rc, mds = _device_constants()
-    half = FULL_ROUNDS // 2
-    r = 0
-    for _ in range(half):
-        state = gl.add(state, rc[r])
-        state = _sbox(state)
-        state = _mds_layer(state, mds)
-        r += 1
-    for _ in range(PARTIAL_ROUNDS):
-        state = gl.add(state, rc[r])
-        lane0 = _sbox(state[..., 0:1, :])
-        state = jnp.concatenate([lane0, state[..., 1:, :]], axis=-2)
-        state = _mds_layer(state, mds)
-        r += 1
-    for _ in range(half):
-        state = gl.add(state, rc[r])
-        state = _sbox(state)
-        state = _mds_layer(state, mds)
-        r += 1
-    return state
+    """Poseidon permutation, batched. state: (..., 12, 2) uint32 limbs.
+
+    Rounds are unrolled (XLA loop primitives compile pathologically slowly
+    for this body); the einsum-based MDS keeps the graph compact and feeds
+    the MXU on TPU. Dispatches eagerly for small batches, jitted for large.
+    """
+    if _batch_size(state.shape[:-2]) >= JIT_THRESHOLD:
+        return _permute_jit(state)
+    return _permute_impl(state)
 
 
 def hash_two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,86 @@
+"""Merkle-cap vector commitments over Poseidon — batched JAX tree build.
+
+Capability parity with the reference prover's Merkle-cap polynomial
+commitments (SURVEY.md D4). A commitment to a matrix of leaves
+``(n_leaves, leaf_width)`` is the list of 2^cap_height digests at depth
+``log2(n) - cap_height``; openings carry sibling digests up to the cap.
+
+Tree construction is fully batched: one Poseidon sponge call hashes every
+leaf row at once, then log2(n) batched two-to-one rounds build the layers.
+This is the shape that later becomes a Pallas kernel / sharded collective
+reduction (SURVEY.md section 2c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..field import goldilocks as gl
+from ..ops import poseidon as pos
+
+
+@dataclass
+class MerkleTree:
+    """Host-resident commitment: leaf digests + all interior layers.
+
+    layers[0] is the leaf-digest layer (n, 4, 2); layers[-1] is the cap
+    (2^cap_height, 4, 2). Leaves themselves are kept by the caller (the
+    polynomial oracle) for openings.
+    """
+
+    layers: List[np.ndarray]
+    cap_height: int
+
+    @property
+    def cap(self) -> np.ndarray:
+        return self.layers[-1]
+
+    def cap_ints(self) -> list:
+        """Cap digests as python int lists (for the transcript)."""
+        return [[int(v) for v in gl.to_int(d)] for d in self.cap]
+
+    def open(self, index: int) -> List[np.ndarray]:
+        """Sibling digests from leaf level up to (excluding) the cap."""
+        out = []
+        idx = index
+        for layer in self.layers[:-1]:
+            out.append(np.asarray(layer[idx ^ 1]))
+            idx >>= 1
+        return out
+
+
+def build_tree(leaves: jnp.ndarray, cap_height: int = 0) -> MerkleTree:
+    """leaves: (n, w, 2) field-element rows; n a power of two >= 2^cap_height."""
+    n = leaves.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n and cap_height <= log_n
+    digests = pos.hash_no_pad(leaves)  # (n, 4, 2)
+    layers = [np.asarray(digests)]
+    cur = digests
+    for _ in range(log_n - cap_height):
+        cur = pos.hash_two_to_one(cur[0::2], cur[1::2])
+        layers.append(np.asarray(cur))
+    return MerkleTree(layers=layers, cap_height=cap_height)
+
+
+def verify_opening(
+    leaf_row: np.ndarray,
+    index: int,
+    siblings: List[np.ndarray],
+    cap: np.ndarray,
+) -> bool:
+    """Recompute the path from a leaf row to the cap (host-side, small)."""
+    digest = pos.hash_no_pad(jnp.asarray(leaf_row))
+    idx = index
+    for sib in siblings:
+        sib = jnp.asarray(sib)
+        if idx & 1:
+            digest = pos.hash_two_to_one(sib, digest)
+        else:
+            digest = pos.hash_two_to_one(digest, sib)
+        idx >>= 1
+    return bool(np.array_equal(np.asarray(digest), np.asarray(cap[idx])))
