@@ -5,8 +5,9 @@ instead of plonky2's heterogeneous custom-gate zoo, every proved table is a
 *uniform* AIR — one constraint set applied to all rows — so constraint
 evaluation is pure columnar vector math that XLA fuses and tiles.
 
-An ``Air`` declares its column count and registers polynomial constraints
-through an ``AirBuilder``. The same ``eval`` code runs twice:
+An ``Air`` declares its column count, row-offset window, periodic columns
+and challenges, and registers polynomial constraints through an
+``AirBuilder``. The same ``eval`` code runs twice:
 
   * vectorized over every LDE row (base field, jnp arrays) to build the
     quotient polynomial on the prover, and
@@ -18,8 +19,8 @@ Consistency of the two paths is therefore structural, not tested-for.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 
@@ -70,6 +71,42 @@ class Elem:
         return Elem(self.b.sub(self.b.const(0), self.v), self.b)
 
 
+class ExtElem:
+    """GF(p^2) element represented as two base-field Elems (c0 + c1*t,
+    t^2 = W). Used for LogUp accumulators: aux columns come in base pairs
+    and challenges are extension values, but every constraint emitted is
+    still a base-field polynomial in the columns."""
+
+    __slots__ = ("c0", "c1")
+
+    def __init__(self, c0: Elem, c1: Elem):
+        self.c0 = c0
+        self.c1 = c1
+
+    @staticmethod
+    def from_base(e: Elem) -> "ExtElem":
+        zero = Elem(e.b.const(0), e.b)
+        return ExtElem(e, zero)
+
+    def __add__(self, o: "ExtElem") -> "ExtElem":
+        if isinstance(o, Elem):
+            o = ExtElem.from_base(o)
+        return ExtElem(self.c0 + o.c0, self.c1 + o.c1)
+
+    def __sub__(self, o: "ExtElem") -> "ExtElem":
+        if isinstance(o, Elem):
+            o = ExtElem.from_base(o)
+        return ExtElem(self.c0 - o.c0, self.c1 - o.c1)
+
+    def __mul__(self, o) -> "ExtElem":
+        if isinstance(o, Elem):
+            return ExtElem(self.c0 * o, self.c1 * o)
+        return ExtElem(
+            self.c0 * o.c0 + ext.W * (self.c1 * o.c1),
+            self.c0 * o.c1 + self.c1 * o.c0,
+        )
+
+
 class BaseLdeBackend:
     """Values are (N, 2) uint32-limb jnp arrays over the LDE domain."""
 
@@ -112,37 +149,62 @@ class Constraint:
 
 
 class AirBuilder:
-    """Passed to Air.eval; exposes row values and records constraints."""
+    """Passed to Air.eval; exposes row values and records constraints.
 
-    def __init__(self, backend, local_vals, next_vals, public_values: Sequence[int],
-                 aux_local=None, aux_next=None, challenges: Optional[Sequence] = None):
+    rows: {offset: [per-column backend values]} for the AIR's row window.
+    periodic: list of per-column backend values (LDE vectors / point evals).
+    challenges: list of (c0, c1) extension pairs (python ints).
+    """
+
+    def __init__(
+        self,
+        backend,
+        rows: Dict[int, list],
+        publics: Sequence[int],
+        aux_rows: Optional[Dict[int, list]] = None,
+        challenges: Optional[Sequence] = None,
+        periodic: Optional[Sequence] = None,
+    ):
         self.b = backend
-        self._local = local_vals
-        self._next = next_vals
-        self._aux_local = aux_local
-        self._aux_next = aux_next
-        self._challenges = challenges
-        self._public = list(public_values)
+        self._rows = rows
+        self._aux_rows = aux_rows
+        self._challenges = list(challenges or [])
+        self._periodic = list(periodic or [])
+        self._public = list(publics)
         self.constraints: List[Constraint] = []
 
     # row access ----------------------------------------------------------
+    def row(self, offset: int, col: int) -> Elem:
+        return Elem(self._rows[offset][col], self.b)
+
     def local(self, col: int) -> Elem:
-        return Elem(self._local[col], self.b)
+        return self.row(0, col)
 
     def next(self, col: int) -> Elem:
-        return Elem(self._next[col], self.b)
+        return self.row(1, col)
+
+    def aux_row(self, offset: int, col: int) -> Elem:
+        return Elem(self._aux_rows[offset][col], self.b)
 
     def aux_local(self, col: int) -> Elem:
-        return Elem(self._aux_local[col], self.b)
+        return self.aux_row(0, col)
 
     def aux_next(self, col: int) -> Elem:
-        return Elem(self._aux_next[col], self.b)
+        return self.aux_row(1, col)
 
-    def challenge(self, i: int) -> Elem:
-        """Verifier-sampled challenge (extension embedded via two base
-        elements c0 + c1*t is NOT supported in base rows; challenges are
-        base-field elements drawn after the main commit)."""
-        return Elem(self.b.const(self._challenges[i]), self.b)
+    def aux_local_ext(self, i: int) -> ExtElem:
+        """Aux columns (2i, 2i+1) as one extension element."""
+        return ExtElem(self.aux_local(2 * i), self.aux_local(2 * i + 1))
+
+    def aux_next_ext(self, i: int) -> ExtElem:
+        return ExtElem(self.aux_next(2 * i), self.aux_next(2 * i + 1))
+
+    def periodic(self, i: int) -> Elem:
+        return Elem(self._periodic[i], self.b)
+
+    def challenge(self, i: int) -> ExtElem:
+        c0, c1 = self._challenges[i]
+        return ExtElem(self.const(c0), self.const(c1))
 
     def public(self, i: int) -> Elem:
         return self.const(self._public[i])
@@ -150,9 +212,16 @@ class AirBuilder:
     def const(self, c: int) -> Elem:
         return Elem(self.b.const(int(c)), self.b)
 
+    def ext_const(self, pair) -> ExtElem:
+        return ExtElem(self.const(pair[0]), self.const(pair[1]))
+
     # constraints ---------------------------------------------------------
     def assert_zero(self, e: Elem, scope: str = EVERYWHERE):
         self.constraints.append(Constraint(e.v, scope))
+
+    def assert_zero_ext(self, e: ExtElem, scope: str = EVERYWHERE):
+        self.assert_zero(e.c0, scope)
+        self.assert_zero(e.c1, scope)
 
     def assert_eq(self, a: Elem, b, scope: str = EVERYWHERE):
         if not isinstance(b, Elem):
@@ -180,6 +249,9 @@ class _Scoped:
     def assert_zero(self, e: Elem):
         self.builder.assert_zero(e, self.scope)
 
+    def assert_zero_ext(self, e: ExtElem):
+        self.builder.assert_zero_ext(e, self.scope)
+
     def assert_eq(self, a: Elem, b):
         if not isinstance(b, Elem):
             b = self.builder.const(int(b))
@@ -189,14 +261,23 @@ class _Scoped:
 class Air:
     """Base class for proved tables.
 
-    Subclasses set ``width`` (number of main columns), optionally
-    ``aux_width``/``num_challenges`` (columns committed after challenge
-    draw — used for permutation/LogUp arguments), ``max_constraint_degree``
-    and implement ``eval(builder)``. ``build_aux`` produces the aux trace
-    from the main trace + challenges (host-side numpy, python ints).
+    Subclasses set:
+      width                  number of main columns
+      row_offsets            row window used by constraints (must start 0);
+                             e.g. SHA-256's schedule uses (0,1,2,7,15,16)
+      periodic_columns       list of int sequences (period divides n);
+                             never committed, evaluated directly by both
+                             prover and verifier (round constants etc.)
+      aux_width              columns committed after challenge draw
+      num_challenges         extension challenges available to build_aux/eval
+      max_constraint_degree  max total degree incl. scope selector
+    and implement ``eval(builder)``; ``build_aux(main, challenges)``
+    produces the aux trace ((n, aux_width) uint64 numpy) when aux_width>0.
     """
 
     width: int = 0
+    row_offsets = (0, 1)
+    periodic_columns: Sequence[Sequence[int]] = ()
     aux_width: int = 0
     num_challenges: int = 0
     max_constraint_degree: int = 3
@@ -205,5 +286,4 @@ class Air:
         raise NotImplementedError
 
     def build_aux(self, main_rows, challenges):
-        """main_rows: (n, width) numpy uint64; -> (n, aux_width) uint64."""
         raise NotImplementedError("Air has aux columns but no build_aux")

@@ -6,8 +6,17 @@ columnar AIR here — the TPU-first redesign). Pipeline per table:
 
   trace columns --iNTT/NTT--> coset LDE --Poseidon--> Merkle cap
   constraints (vectorized over LDE rows) --combine(alpha)--> quotient
-  quotient chunks committed; openings at zeta/zeta*g; DEEP composition;
-  FRI low-degree proof; query rounds open all oracles at shared indices.
+  quotient chunks committed; openings at zeta*g^k for the AIR's row-offset
+  window; DEEP composition; FRI low-degree proof; query rounds open all
+  oracles at shared indices.
+
+Features beyond the minimum:
+  * arbitrary row-offset windows (Air.row_offsets), e.g. the SHA-256
+    message schedule reads rows t-2/-7/-15/-16;
+  * periodic "virtual" columns (round constants/selectors) that are never
+    committed — both sides evaluate them directly;
+  * auxiliary columns committed after Fiat-Shamir challenges (extension
+    challenges, for LogUp/permutation arguments).
 
 Every heavy step is a batched jnp program (NTT stages, Poseidon trees, the
 constraint sweep); transcript and verification replay on host ints.
@@ -17,7 +26,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -38,6 +47,8 @@ from .air import (
     TRANSITION,
 )
 from .transcript import Transcript
+
+F2 = ext.GFp2
 
 
 @dataclass
@@ -61,7 +72,7 @@ class StarkConfig:
 @dataclass
 class OpenedRow:
     values: list  # python ints (base field), row of the oracle leaf
-    siblings: list  # list of 4-int digests per level
+    siblings: list  # list of 4-digest-limb lists per level
 
 
 @dataclass
@@ -70,15 +81,12 @@ class StarkProof:
     main_cap: list
     aux_cap: Optional[list]
     quotient_cap: list
-    # out-of-domain openings (extension pairs)
-    main_zeta: list
-    main_zeta_next: list
-    aux_zeta: list
-    aux_zeta_next: list
-    quotient_zeta: list  # per chunk
+    # openings[k] = values of all main cols at zeta * g^k, for k in offsets
+    main_openings: Dict[int, list]
+    aux_openings: Dict[int, list]
+    quotient_zeta: list  # 2*n_chunks base-col evals at zeta
     fri_proof: fri.FriProof
-    # per FRI query round: opened oracle rows (main, aux?, quotient)
-    query_openings: list
+    query_openings: list  # per FRI query round: {"main","aux","quotient"}
 
 
 # ---------------------------------------------------------------------------
@@ -121,20 +129,21 @@ def _selector_tables(log_n: int, rate_bits: int):
     g_last = pow(g_n, n - 1, gl.P)
     n_inv = pow(n, gl.P - 2, gl.P)
 
-    # Z_H(x) = x^n - 1 has only `blowup` distinct values on the coset.
-    zh = [(pow(int(pts[i]), n, gl.P) - 1) % gl.P for i in range(1 << rate_bits)]
-    zh_inv_small = _batch_inverse(zh)
-    zh_inv = np.tile(np.array(zh_inv_small, dtype=np.uint64), n)
-
     x_min_1 = [(int(x) - 1) % gl.P for x in pts]
     x_min_g = [(int(x) - g_last) % gl.P for x in pts]
     inv1 = _batch_inverse(x_min_1)
     invg = _batch_inverse(x_min_g)
+    zh_small = [
+        (pow(int(pts[i]), n, gl.P) - 1) % gl.P for i in range(1 << rate_bits)
+    ]
+    zh_inv = np.tile(
+        np.array(_batch_inverse(zh_small), dtype=np.uint64), n
+    )
     sf = np.empty(N, dtype=np.uint64)
     sl = np.empty(N, dtype=np.uint64)
     st = np.empty(N, dtype=np.uint64)
     for i in range(N):
-        zh_i = (pow(int(pts[i]), n, gl.P) - 1) % gl.P
+        zh_i = zh_small[i & ((1 << rate_bits) - 1)]
         sf[i] = zh_i * n_inv % gl.P * inv1[i] % gl.P
         sl[i] = zh_i * n_inv % gl.P * g_last % gl.P * invg[i] % gl.P
         st[i] = x_min_g[i]
@@ -146,30 +155,96 @@ def _selector_tables(log_n: int, rate_bits: int):
     )
 
 
+def _ext_pow(z, e: int):
+    acc = (1, 0)
+    base = z
+    while e:
+        if e & 1:
+            acc = F2.mul(acc, base)
+        base = F2.mul(base, base)
+        e >>= 1
+    return acc
+
+
 def _selectors_at_point(z, log_n: int):
-    """Selector values at an extension point (host ints)."""
-    F2 = ext.GFp2
+    """(zh, sel_first, sel_last, sel_trans) at an extension point."""
     n = 1 << log_n
     g_n = gl.primitive_root_of_unity(log_n)
     g_last = pow(g_n, n - 1, gl.P)
     n_inv = pow(n, gl.P - 2, gl.P)
-    zn = (1, 0)
-    zpow = z
-    e = n
-    # z^n by square-and-multiply
-    base = z
-    while e:
-        if e & 1:
-            zn = F2.mul(zn, base)
-        base = F2.mul(base, base)
-        e >>= 1
-    zh = F2.sub(zn, (1, 0))
+    zh = F2.sub(_ext_pow(z, n), (1, 0))
     sel_first = F2.mul(F2.mul(zh, (n_inv, 0)), F2.inv(F2.sub(z, (1, 0))))
     sel_last = F2.mul(
         F2.mul(F2.mul(zh, (n_inv, 0)), (g_last, 0)), F2.inv(F2.sub(z, (g_last, 0)))
     )
     sel_trans = F2.sub(z, (g_last, 0))
     return zh, sel_first, sel_last, sel_trans
+
+
+# ---------------------------------------------------------------------------
+# periodic (virtual) columns
+# ---------------------------------------------------------------------------
+
+def _host_intt(values: List[int]) -> List[int]:
+    """O(p^2) inverse NTT over python ints (for small periodic columns)."""
+    p = len(values)
+    log_p = p.bit_length() - 1
+    assert 1 << log_p == p
+    w = gl.primitive_root_of_unity(log_p)
+    w_inv = pow(w, gl.P - 2, gl.P)
+    p_inv = pow(p, gl.P - 2, gl.P)
+    out = []
+    for k in range(p):
+        acc = 0
+        wk = pow(w_inv, k, gl.P)
+        x = 1
+        for i in range(p):
+            acc = (acc + values[i] * x) % gl.P
+            x = (x * wk) % gl.P
+        out.append(acc * p_inv % gl.P)
+    return out
+
+
+def _periodic_lde(values: np.ndarray, log_n: int, rate_bits: int) -> np.ndarray:
+    """Periodic column (period p | n) -> its LDE values (N, 2) uint32 np."""
+    n = 1 << log_n
+    p = len(values)
+    tiled = np.tile(np.asarray(values, dtype=np.uint64), n // p)
+    col = gl.from_int(tiled)[None]  # (1, n, 2)
+    coeffs = nttmod.ntt(col, inverse=True)
+    N = n << rate_bits
+    padded = jnp.pad(coeffs, [(0, 0), (0, N - n), (0, 0)])
+    shifted = nttmod.coset_shift(padded, gl.GENERATOR)
+    return np.asarray(nttmod.ntt(shifted)[0])
+
+
+@functools.lru_cache(maxsize=None)
+def _periodic_cache(key, log_n, rate_bits):
+    values = np.array(key, dtype=np.uint64)
+    return _periodic_lde(values, log_n, rate_bits)
+
+
+def _periodic_at_point(values: Sequence[int], z, log_n: int):
+    """Evaluate the periodic column's polynomial q(x^(n/p)) at ext point z."""
+    p = len(values)
+    n = 1 << log_n
+    coeffs = _host_intt([int(v) % gl.P for v in values])
+    zp = _ext_pow(z, n // p)
+    acc = (0, 0)
+    for c in reversed(coeffs):
+        acc = F2.add(F2.mul(acc, zp), (c, 0))
+    return acc
+
+
+def _periodic_at_x(values: Sequence[int], x: int, log_n: int) -> int:
+    p = len(values)
+    n = 1 << log_n
+    coeffs = _host_intt([int(v) % gl.P for v in values])
+    xp = pow(x, n // p, gl.P)
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * xp + c) % gl.P
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +285,7 @@ def _tree_sum_ext(x: jnp.ndarray, axis_len: int) -> jnp.ndarray:
 
 
 def _eval_cols_at(coeffs: jnp.ndarray, z_pair) -> List[Tuple[int, int]]:
-    """Evaluate base-coeff columns (c, n, 2) at extension point (int pair)."""
+    """Evaluate base-coeff columns (c, n, 2) at an extension point."""
     c, n, _ = coeffs.shape
     z = ext.from_int_pair(z_pair[0], z_pair[1])
     pows = _ext_powers(z, n)  # (n, 2, 2)
@@ -227,12 +302,10 @@ def _ext_const_vec(pair, n: int) -> jnp.ndarray:
     return jnp.broadcast_to(ext.from_int_pair(pair[0], pair[1]), (n, 2, 2))
 
 
-def _combine_constraints(builder: AirBuilder, alpha, sels, n_points: int):
-    """sum_i alpha^i * sel_i * c_i -> (N, 2, 2) extension values."""
+def _combine_constraints_lde(builder, alpha, sels, n_points):
     zh_inv, sel_first, sel_last, sel_trans = sels
-    acc = ext.zeros((n_points,))
+    acc = None
     alpha_vec = _ext_const_vec(alpha, n_points)
-    first = True
     for con in builder.constraints:
         c = con.expr  # (N, 2) base
         if con.scope == FIRST_ROW:
@@ -241,19 +314,16 @@ def _combine_constraints(builder: AirBuilder, alpha, sels, n_points: int):
             c = gl.mul(c, jnp.asarray(sel_last))
         elif con.scope == TRANSITION:
             c = gl.mul(c, jnp.asarray(sel_trans))
-        if first:
+        if acc is None:
             acc = ext.from_base(c)
-            first = False
         else:
             acc = ext.add(ext.mul(acc, alpha_vec), ext.from_base(c))
     return acc
 
 
-def _combine_constraints_at_point(builder: AirBuilder, alpha, sels_pt):
-    F2 = ext.GFp2
+def _combine_constraints_point(builder, alpha, sels_pt):
     _, sel_first, sel_last, sel_trans = sels_pt
-    acc = (0, 0)
-    first = True
+    acc = None
     for con in builder.constraints:
         c = con.expr  # GFp2 pair
         if con.scope == FIRST_ROW:
@@ -262,11 +332,7 @@ def _combine_constraints_at_point(builder: AirBuilder, alpha, sels_pt):
             c = F2.mul(c, sel_last)
         elif con.scope == TRANSITION:
             c = F2.mul(c, sel_trans)
-        if first:
-            acc = c
-            first = False
-        else:
-            acc = F2.add(F2.mul(acc, alpha), c)
+        acc = c if acc is None else F2.add(F2.mul(acc, alpha), c)
     return acc
 
 
@@ -277,17 +343,17 @@ def _combine_constraints_at_point(builder: AirBuilder, alpha, sels_pt):
 def _observe_preamble(transcript: Transcript, air: Air, n: int, publics):
     transcript.observe_element(air.width % gl.P)
     transcript.observe_element(n % gl.P)
-    transcript.observe_elements([p % gl.P for p in publics])
+    transcript.observe_elements([int(p) % gl.P for p in publics])
 
 
-def _rows_local_next(rows: jnp.ndarray, rate_bits: int):
-    """LDE rows (N, c, 2) -> per-column local/next (lists of (N,2))."""
-    N = rows.shape[0]
+def _offset_rows(rows: jnp.ndarray, offsets, rate_bits: int):
+    """LDE rows (N, c, 2) -> {offset: [per-col (N, 2) arrays]}."""
     blowup = 1 << rate_bits
-    nxt = jnp.roll(rows, -blowup, axis=0)
-    local = [rows[:, i, :] for i in range(rows.shape[1])]
-    nxt_cols = [nxt[:, i, :] for i in range(rows.shape[1])]
-    return local, nxt_cols
+    out = {}
+    for k in offsets:
+        shifted = jnp.roll(rows, -k * blowup, axis=0) if k else rows
+        out[k] = [shifted[:, i, :] for i in range(rows.shape[1])]
+    return out
 
 
 def prove(
@@ -303,9 +369,10 @@ def prove(
     assert 1 << log_n == n
     N = n << cfg.rate_bits
     blowup = 1 << cfg.rate_bits
-    # constraint degree bound: C = sel*c must be faithfully represented by
-    # its N LDE samples: deg <= D*(n-1) + 1 <= N - 1
+    # faithful LDE sampling bound for combined constraints
     assert air.max_constraint_degree * (n - 1) + 1 <= N - 1
+    offsets = tuple(air.row_offsets)
+    assert offsets[0] == 0
 
     transcript = Transcript()
     _observe_preamble(transcript, air, n, publics)
@@ -316,11 +383,14 @@ def prove(
     )
     transcript.observe_cap(main_tree.cap_ints())
 
-    challenges = []
+    challenges: List[Tuple[int, int]] = []
     aux_coeffs = aux_rows_np = aux_tree = None
     if air.aux_width:
-        challenges = transcript.get_n_challenges(air.num_challenges)
+        challenges = [
+            transcript.get_extension_challenge() for _ in range(air.num_challenges)
+        ]
         aux = air.build_aux(trace, challenges)
+        assert aux.shape == (n, air.aux_width)
         aux_cols = jnp.moveaxis(gl.from_int(aux), 0, 1)
         aux_coeffs, aux_rows_np, aux_tree = _commit_matrix(
             aux_cols, cfg.rate_bits, cfg.cap_height
@@ -331,50 +401,61 @@ def prove(
 
     # constraint evaluation over the LDE domain
     main_rows = jnp.asarray(main_rows_np)
-    local, nxt = _rows_local_next(main_rows, cfg.rate_bits)
-    aux_local = aux_next = None
+    main_by_offset = _offset_rows(main_rows, offsets, cfg.rate_bits)
+    aux_by_offset = None
     if air.aux_width:
         aux_rows = jnp.asarray(aux_rows_np)
-        aux_local, aux_next = _rows_local_next(aux_rows, cfg.rate_bits)
+        aux_by_offset = _offset_rows(aux_rows, (0, 1), cfg.rate_bits)
+    periodic_lde = [
+        jnp.asarray(_periodic_cache(tuple(int(v) for v in vals), log_n, cfg.rate_bits))
+        for vals in air.periodic_columns
+    ]
     builder = AirBuilder(
-        BaseLdeBackend(N), local, nxt, list(publics), aux_local, aux_next, challenges
+        BaseLdeBackend(N),
+        rows=main_by_offset,
+        publics=list(publics),
+        aux_rows=aux_by_offset,
+        challenges=challenges,
+        periodic=periodic_lde,
     )
     air.eval(builder)
     sels = _selector_tables(log_n, cfg.rate_bits)
-    combined = _combine_constraints(builder, alpha, sels, N)
-    zh_inv_vec = jnp.asarray(sels[0])
-    quotient = ext.scalar_mul(combined, zh_inv_vec)  # (N, 2, 2)
+    combined = _combine_constraints_lde(builder, alpha, sels, N)
+    quotient = ext.scalar_mul(combined, jnp.asarray(sels[0]))  # (N, 2, 2)
 
     # quotient -> blowup chunks of degree < n, as 2*blowup base columns
     q_base = jnp.moveaxis(quotient, -2, 0)  # (2, N, 2)
-    # iNTT on the coset: undo the coset shift after the subgroup iNTT
     q_coeffs_shifted = nttmod.ntt(q_base, inverse=True)
     q_coeffs_full = nttmod.coset_shift(
         q_coeffs_shifted, pow(gl.GENERATOR, gl.P - 2, gl.P)
     )
-    chunks = []
-    for k in range(blowup):
-        chunk = q_coeffs_full[:, k * n:(k + 1) * n, :]  # (2, n, 2)
-        chunks.append(chunk)
+    chunks = [q_coeffs_full[:, k * n:(k + 1) * n, :] for k in range(blowup)]
     q_cols_coeffs = jnp.concatenate(chunks, axis=0)  # (2*blowup, n, 2)
-    # commit: NTT to subgroup evals then standard commit path
     q_cols = nttmod.ntt(q_cols_coeffs)
     q_coeffs, q_rows_np, q_tree = _commit_matrix(q_cols, cfg.rate_bits, cfg.cap_height)
     transcript.observe_cap(q_tree.cap_ints())
 
     zeta = transcript.get_extension_challenge()
     g_n = gl.primitive_root_of_unity(log_n)
-    zeta_next = ext.GFp2.mul(zeta, (g_n, 0))
 
-    main_zeta = _eval_cols_at(main_coeffs, zeta)
-    main_zeta_next = _eval_cols_at(main_coeffs, zeta_next)
-    aux_zeta = aux_zeta_next = []
-    if air.aux_width:
-        aux_zeta = _eval_cols_at(aux_coeffs, zeta)
-        aux_zeta_next = _eval_cols_at(aux_coeffs, zeta_next)
-    q_zeta_pairs = _eval_cols_at(q_coeffs, zeta)  # 2*blowup base-col evals
+    main_openings: Dict[int, list] = {}
+    aux_openings: Dict[int, list] = {}
+    for k in offsets:
+        zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
+        main_openings[k] = _eval_cols_at(main_coeffs, zk)
+    aux_offsets = (0, 1) if air.aux_width else ()
+    for k in aux_offsets:
+        zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
+        aux_openings[k] = _eval_cols_at(aux_coeffs, zk)
+    q_zeta_pairs = _eval_cols_at(q_coeffs, zeta)
 
-    for v in main_zeta + main_zeta_next + aux_zeta + aux_zeta_next + q_zeta_pairs:
+    for k in offsets:
+        for v in main_openings[k]:
+            transcript.observe_extension(v)
+    for k in aux_offsets:
+        for v in aux_openings[k]:
+            transcript.observe_extension(v)
+    for v in q_zeta_pairs:
         transcript.observe_extension(v)
 
     alpha2 = transcript.get_extension_challenge()
@@ -382,37 +463,28 @@ def prove(
     # DEEP composition on the LDE domain
     pts = _lde_points(log_n, cfg.rate_bits)
     x_vec = ext.from_base(gl.from_int(pts))  # (N, 2, 2)
-    inv_x_zeta = ext.inv(ext.sub(x_vec, _ext_const_vec(zeta, N)))
-    inv_x_zeta_next = ext.inv(ext.sub(x_vec, _ext_const_vec(zeta_next, N)))
+    inv_by_offset = {}
+    for k in sorted(set(offsets) | set(aux_offsets)):
+        zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
+        inv_by_offset[k] = ext.inv(ext.sub(x_vec, _ext_const_vec(zk, N)))
 
     alpha2_vec = _ext_const_vec(alpha2, N)
-    acc = ext.zeros((N,))
-    first = True
-
-    def add_term(acc, first, col_vals_base, y_pair, inv_vec):
-        term = ext.sub(ext.from_base(col_vals_base), _ext_const_vec(y_pair, N))
-        term = ext.mul(term, inv_vec)
-        if first:
-            return term, False
-        return ext.add(ext.mul(acc, alpha2_vec), term), False
-
-    all_cols_zeta = []  # (base col values (N,2), y, which inverse)
-    for i in range(width):
-        all_cols_zeta.append((main_rows[:, i, :], main_zeta[i], inv_x_zeta))
-    if air.aux_width:
+    acc = None
+    terms = []
+    for k in offsets:
+        for i in range(width):
+            terms.append((main_rows[:, i, :], main_openings[k][i], inv_by_offset[k]))
+    for k in aux_offsets:
         for i in range(air.aux_width):
-            all_cols_zeta.append((aux_rows[:, i, :], aux_zeta[i], inv_x_zeta))
+            terms.append((aux_rows[:, i, :], aux_openings[k][i], inv_by_offset[k]))
     q_rows = jnp.asarray(q_rows_np)
     for i in range(2 * blowup):
-        all_cols_zeta.append((q_rows[:, i, :], q_zeta_pairs[i], inv_x_zeta))
-    for i in range(width):
-        all_cols_zeta.append((main_rows[:, i, :], main_zeta_next[i], inv_x_zeta_next))
-    if air.aux_width:
-        for i in range(air.aux_width):
-            all_cols_zeta.append((aux_rows[:, i, :], aux_zeta_next[i], inv_x_zeta_next))
+        terms.append((q_rows[:, i, :], q_zeta_pairs[i], inv_by_offset[0]))
 
-    for col_vals, y, inv_vec in all_cols_zeta:
-        acc, first = add_term(acc, first, col_vals, y, inv_vec)
+    for col_vals, y, inv_vec in terms:
+        term = ext.sub(ext.from_base(col_vals), _ext_const_vec(y, N))
+        term = ext.mul(term, inv_vec)
+        acc = term if acc is None else ext.add(ext.mul(acc, alpha2_vec), term)
 
     fri_proof, indices = fri.fri_prove(acc, transcript, cfg.fri())
 
@@ -440,10 +512,8 @@ def prove(
         main_cap=main_tree.cap_ints(),
         aux_cap=aux_tree.cap_ints() if air.aux_width else None,
         quotient_cap=q_tree.cap_ints(),
-        main_zeta=main_zeta,
-        main_zeta_next=main_zeta_next,
-        aux_zeta=aux_zeta,
-        aux_zeta_next=aux_zeta_next,
+        main_openings=main_openings,
+        aux_openings=aux_openings,
         quotient_zeta=q_zeta_pairs,
         fri_proof=fri_proof,
         query_openings=query_openings,
@@ -457,10 +527,9 @@ def prove(
 def _verify_row_path(values: List[int], index: int, siblings, cap) -> bool:
     from ..ops import poseidon as pos
 
-    digest = pos.hash_no_pad_ref(values)
+    digest = pos.hash_no_pad_ref([int(v) for v in values])
     idx = index
     for sib in siblings:
-        # siblings stored as nested [[lo,hi]*4] uint32 lists
         s = [int(pair[0]) | (int(pair[1]) << 32) for pair in sib]
         if idx & 1:
             digest = pos.hash_two_to_one_ref(s, digest)
@@ -476,65 +545,74 @@ def verify(
     publics: Sequence[int],
     cfg: StarkConfig = StarkConfig(),
 ) -> bool:
-    F2 = ext.GFp2
     n = proof.n_rows
     log_n = n.bit_length() - 1
     if 1 << log_n != n:
         return False
     N = n << cfg.rate_bits
     blowup = 1 << cfg.rate_bits
+    offsets = tuple(air.row_offsets)
+    aux_offsets = (0, 1) if air.aux_width else ()
 
     transcript = Transcript()
     _observe_preamble(transcript, air, n, publics)
     transcript.observe_cap(proof.main_cap)
-    challenges = []
+    challenges: List[Tuple[int, int]] = []
     if air.aux_width:
-        challenges = transcript.get_n_challenges(air.num_challenges)
+        challenges = [
+            transcript.get_extension_challenge() for _ in range(air.num_challenges)
+        ]
         transcript.observe_cap(proof.aux_cap)
     alpha = transcript.get_extension_challenge()
     transcript.observe_cap(proof.quotient_cap)
     zeta = transcript.get_extension_challenge()
     g_n = gl.primitive_root_of_unity(log_n)
-    zeta_next = F2.mul(zeta, (g_n, 0))
 
-    if len(proof.main_zeta) != air.width or len(proof.main_zeta_next) != air.width:
-        return False
+    for k in offsets:
+        if k not in proof.main_openings or len(proof.main_openings[k]) != air.width:
+            return False
+    for k in aux_offsets:
+        if k not in proof.aux_openings or len(proof.aux_openings[k]) != air.aux_width:
+            return False
     if len(proof.quotient_zeta) != 2 * blowup:
         return False
 
-    for v in (
-        proof.main_zeta
-        + proof.main_zeta_next
-        + proof.aux_zeta
-        + proof.aux_zeta_next
-        + proof.quotient_zeta
-    ):
+    for k in offsets:
+        for v in proof.main_openings[k]:
+            transcript.observe_extension(v)
+    for k in aux_offsets:
+        for v in proof.aux_openings[k]:
+            transcript.observe_extension(v)
+    for v in proof.quotient_zeta:
         transcript.observe_extension(v)
     alpha2 = transcript.get_extension_challenge()
 
     # --- constraint identity at zeta -------------------------------------
+    rows_at_zeta = {
+        k: [tuple(v) for v in proof.main_openings[k]] for k in offsets
+    }
+    aux_at_zeta = (
+        {k: [tuple(v) for v in proof.aux_openings[k]] for k in aux_offsets}
+        if air.aux_width
+        else None
+    )
+    periodic_at = [
+        _periodic_at_point([int(v) for v in vals], zeta, log_n)
+        for vals in air.periodic_columns
+    ]
     builder = AirBuilder(
         ExtPointBackend(),
-        [tuple(v) for v in proof.main_zeta],
-        [tuple(v) for v in proof.main_zeta_next],
-        list(publics),
-        [tuple(v) for v in proof.aux_zeta] if air.aux_width else None,
-        [tuple(v) for v in proof.aux_zeta_next] if air.aux_width else None,
-        challenges,
+        rows=rows_at_zeta,
+        publics=list(publics),
+        aux_rows=aux_at_zeta,
+        challenges=challenges,
+        periodic=periodic_at,
     )
     air.eval(builder)
     sels_pt = _selectors_at_point(zeta, log_n)
-    combined = _combine_constraints_at_point(builder, alpha, sels_pt)
+    combined = _combine_constraints_point(builder, alpha, sels_pt)
     zh = sels_pt[0]
-    # quotient(zeta) = sum_k zeta^(k*n) * (q_2k + t*q_2k+1)(zeta)
-    zn = (1, 0)
-    base = zeta
-    e = n
-    while e:
-        if e & 1:
-            zn = F2.mul(zn, base)
-        base = F2.mul(base, base)
-        e >>= 1
+    zn = _ext_pow(zeta, n)
     q_at_zeta = (0, 0)
     zkn = (1, 0)
     for k in range(blowup):
@@ -546,8 +624,12 @@ def verify(
     if combined != F2.mul(zh, q_at_zeta):
         return False
 
-    # --- FRI ---------------------------------------------------------------
+    # --- FRI --------------------------------------------------------------
     pts = _lde_points(log_n, cfg.rate_bits)
+    zeta_by_offset = {
+        k: F2.mul(zeta, (pow(g_n, k, gl.P), 0))
+        for k in sorted(set(offsets) | set(aux_offsets))
+    }
 
     def eval_at_index(round_i: int, q: int):
         entry = proof.query_openings[round_i]
@@ -568,28 +650,22 @@ def verify(
                 return None
             aux_vals = aux.values
         x = (int(pts[q]), 0)
-        inv_z = F2.inv(F2.sub(x, zeta))
-        inv_zn = F2.inv(F2.sub(x, zeta_next))
+        inv_at = {
+            k: F2.inv(F2.sub(x, zk)) for k, zk in zeta_by_offset.items()
+        }
         terms = []
-        for i in range(air.width):
-            terms.append((main.values[i], proof.main_zeta[i], inv_z))
-        for i in range(len(aux_vals)):
-            terms.append((aux_vals[i], proof.aux_zeta[i], inv_z))
+        for k in offsets:
+            for i in range(air.width):
+                terms.append((main.values[i], proof.main_openings[k][i], inv_at[k]))
+        for k in aux_offsets:
+            for i in range(air.aux_width):
+                terms.append((aux_vals[i], proof.aux_openings[k][i], inv_at[k]))
         for i in range(2 * blowup):
-            terms.append((quot.values[i], proof.quotient_zeta[i], inv_z))
-        for i in range(air.width):
-            terms.append((main.values[i], proof.main_zeta_next[i], inv_zn))
-        for i in range(len(aux_vals)):
-            terms.append((aux_vals[i], proof.aux_zeta_next[i], inv_zn))
-        acc = (0, 0)
-        first = True
+            terms.append((quot.values[i], proof.quotient_zeta[i], inv_at[0]))
+        acc = None
         for v, y, inv in terms:
             t = F2.mul(F2.sub((int(v), 0), tuple(y)), inv)
-            if first:
-                acc = t
-                first = False
-            else:
-                acc = F2.add(F2.mul(acc, alpha2), t)
+            acc = t if acc is None else F2.add(F2.mul(acc, alpha2), t)
         return acc
 
     log_N = log_n + cfg.rate_bits
