@@ -148,6 +148,21 @@ class Constraint:
     scope: str
 
 
+@dataclass
+class Interaction:
+    """A LogUp bus message: sign * mult / (delta + fingerprint(channel, args)).
+
+    Registered during Air.eval via builder.send/receive. The STARK system
+    layer materializes one extension inverse column per interaction plus a
+    running-sum column, and enforces the global balance across tables.
+    """
+
+    channel: int
+    args: list  # list of Elem
+    mult: Any  # Elem
+    sign: int  # +1 send, -1 receive
+
+
 class AirBuilder:
     """Passed to Air.eval; exposes row values and records constraints.
 
@@ -164,6 +179,7 @@ class AirBuilder:
         aux_rows: Optional[Dict[int, list]] = None,
         challenges: Optional[Sequence] = None,
         periodic: Optional[Sequence] = None,
+        pre_rows: Optional[Dict[int, list]] = None,
     ):
         self.b = backend
         self._rows = rows
@@ -171,7 +187,9 @@ class AirBuilder:
         self._challenges = list(challenges or [])
         self._periodic = list(periodic or [])
         self._public = list(publics)
+        self._pre_rows = pre_rows
         self.constraints: List[Constraint] = []
+        self.interactions: List[Interaction] = []
 
     # row access ----------------------------------------------------------
     def row(self, offset: int, col: int) -> Elem:
@@ -202,6 +220,13 @@ class AirBuilder:
     def periodic(self, i: int) -> Elem:
         return Elem(self._periodic[i], self.b)
 
+    def pre(self, offset: int, col: int) -> Elem:
+        """Preprocessed (build-time constant) column at a row offset."""
+        return Elem(self._pre_rows[offset][col], self.b)
+
+    def pre_local(self, col: int) -> Elem:
+        return self.pre(0, col)
+
     def challenge(self, i: int) -> ExtElem:
         c0, c1 = self._challenges[i]
         return ExtElem(self.const(c0), self.const(c1))
@@ -230,6 +255,13 @@ class AirBuilder:
 
     def assert_bool(self, e: Elem, scope: str = EVERYWHERE):
         self.assert_zero(e * (e - 1), scope)
+
+    # bus -------------------------------------------------------------------
+    def send(self, channel: int, args: List[Elem], mult: Elem):
+        self.interactions.append(Interaction(channel, list(args), mult, +1))
+
+    def receive(self, channel: int, args: List[Elem], mult: Elem):
+        self.interactions.append(Interaction(channel, list(args), mult, -1))
 
     def when_transition(self):
         return _Scoped(self, TRANSITION)
@@ -280,6 +312,8 @@ class Air:
     periodic_columns: Sequence[Sequence[int]] = ()
     aux_width: int = 0
     num_challenges: int = 0
+    pre_width: int = 0
+    pre_offsets = (0,)
     max_constraint_degree: int = 3
 
     def eval(self, builder: AirBuilder):
@@ -287,3 +321,7 @@ class Air:
 
     def build_aux(self, main_rows, challenges):
         raise NotImplementedError("Air has aux columns but no build_aux")
+
+    def preprocessed_columns(self, n: int):
+        """(n, pre_width) uint64 numpy of build-time constants."""
+        raise NotImplementedError("Air has pre columns but no preprocessed_columns")

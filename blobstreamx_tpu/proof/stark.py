@@ -84,9 +84,40 @@ class StarkProof:
     # openings[k] = values of all main cols at zeta * g^k, for k in offsets
     main_openings: Dict[int, list]
     aux_openings: Dict[int, list]
+    pre_openings: Dict[int, list]
     quotient_zeta: list  # 2*n_chunks base-col evals at zeta
     fri_proof: fri.FriProof
     query_openings: list  # per FRI query round: {"main","aux","quotient"}
+
+
+@dataclass
+class ProverKey:
+    """Built once per (air, n): preprocessed oracle in prover form."""
+
+    pre_rows_np: Optional[np.ndarray]
+    pre_coeffs: Optional[object]
+    pre_tree: Optional[object]
+
+
+@dataclass
+class VerifierKey:
+    pre_cap: Optional[list]
+
+
+def build(air: Air, n: int, cfg: "StarkConfig" = None):
+    """Build the preprocessed oracle (reference's circuit-build step, D17).
+
+    Returns (ProverKey, VerifierKey). For AIRs without preprocessed
+    columns both keys are empty.
+    """
+    cfg = cfg or StarkConfig()
+    if not air.pre_width:
+        return ProverKey(None, None, None), VerifierKey(None)
+    pre = air.preprocessed_columns(n)
+    assert pre.shape == (n, air.pre_width)
+    cols = jnp.moveaxis(gl.from_int(pre), 0, 1)
+    coeffs, rows_np, tree = _commit_matrix(cols, cfg.rate_bits, cfg.cap_height)
+    return ProverKey(rows_np, coeffs, tree), VerifierKey(tree.cap_ints())
 
 
 # ---------------------------------------------------------------------------
@@ -286,15 +317,35 @@ def _tree_sum_ext(x: jnp.ndarray, axis_len: int) -> jnp.ndarray:
 
 def _eval_cols_at(coeffs: jnp.ndarray, z_pair) -> List[Tuple[int, int]]:
     """Evaluate base-coeff columns (c, n, 2) at an extension point."""
+    return _eval_cols_at_points(coeffs, [z_pair])[0]
+
+
+def _eval_cols_at_points(coeffs: jnp.ndarray, z_pairs) -> List[List[Tuple[int, int]]]:
+    """Evaluate base-coeff columns (c, n, 2) at M extension points at once.
+
+    Returns [per-point [per-column (c0, c1)]].
+    """
     c, n, _ = coeffs.shape
-    z = ext.from_int_pair(z_pair[0], z_pair[1])
-    pows = _ext_powers(z, n)  # (n, 2, 2)
-    terms = ext.scalar_mul(jnp.broadcast_to(pows, (c, n, 2, 2)), coeffs)
-    vals = _tree_sum_ext(terms, n)  # (c, 2, 2)
+    pows = jnp.stack(
+        [
+            _ext_powers(ext.from_int_pair(zp[0], zp[1]), n)
+            for zp in z_pairs
+        ]
+    )  # (M, n, 2, 2)
+    m = pows.shape[0]
+    terms = ext.scalar_mul(
+        jnp.broadcast_to(pows[None], (c, m, n, 2, 2)), coeffs[:, None]
+    )
+    vals = _tree_sum_ext(terms, n)  # (c, m, 2, 2)
     arr = np.asarray(vals)
     out = []
-    for i in range(c):
-        out.append((int(gl.to_int(arr[i, 0])), int(gl.to_int(arr[i, 1]))))
+    for j in range(m):
+        out.append(
+            [
+                (int(gl.to_int(arr[i, j, 0])), int(gl.to_int(arr[i, j, 1])))
+                for i in range(c)
+            ]
+        )
     return out
 
 
@@ -361,6 +412,7 @@ def prove(
     trace: np.ndarray,
     publics: Sequence[int],
     cfg: StarkConfig = StarkConfig(),
+    pk: Optional[ProverKey] = None,
 ) -> StarkProof:
     """trace: (n, width) uint64 numpy (row-major witness)."""
     n, width = trace.shape
@@ -374,8 +426,13 @@ def prove(
     offsets = tuple(air.row_offsets)
     assert offsets[0] == 0
 
+    if air.pre_width and pk is None:
+        pk, _ = build(air, n, cfg)
+
     transcript = Transcript()
     _observe_preamble(transcript, air, n, publics)
+    if air.pre_width:
+        transcript.observe_cap(pk.pre_tree.cap_ints())
 
     cols = jnp.moveaxis(gl.from_int(trace), 0, 1)  # (width, n, 2)
     main_coeffs, main_rows_np, main_tree = _commit_matrix(
@@ -410,6 +467,10 @@ def prove(
         jnp.asarray(_periodic_cache(tuple(int(v) for v in vals), log_n, cfg.rate_bits))
         for vals in air.periodic_columns
     ]
+    pre_by_offset = None
+    if air.pre_width:
+        pre_rows = jnp.asarray(pk.pre_rows_np)
+        pre_by_offset = _offset_rows(pre_rows, tuple(air.pre_offsets), cfg.rate_bits)
     builder = AirBuilder(
         BaseLdeBackend(N),
         rows=main_by_offset,
@@ -417,6 +478,7 @@ def prove(
         aux_rows=aux_by_offset,
         challenges=challenges,
         periodic=periodic_lde,
+        pre_rows=pre_by_offset,
     )
     air.eval(builder)
     sels = _selector_tables(log_n, cfg.rate_bits)
@@ -438,15 +500,24 @@ def prove(
     zeta = transcript.get_extension_challenge()
     g_n = gl.primitive_root_of_unity(log_n)
 
-    main_openings: Dict[int, list] = {}
-    aux_openings: Dict[int, list] = {}
-    for k in offsets:
-        zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
-        main_openings[k] = _eval_cols_at(main_coeffs, zk)
+    def zs_for(ks):
+        return [F2.mul(zeta, (pow(g_n, k, gl.P), 0)) for k in ks]
+
+    main_openings: Dict[int, list] = dict(
+        zip(offsets, _eval_cols_at_points(main_coeffs, zs_for(offsets)))
+    )
     aux_offsets = (0, 1) if air.aux_width else ()
-    for k in aux_offsets:
-        zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
-        aux_openings[k] = _eval_cols_at(aux_coeffs, zk)
+    aux_openings: Dict[int, list] = {}
+    if air.aux_width:
+        aux_openings = dict(
+            zip(aux_offsets, _eval_cols_at_points(aux_coeffs, zs_for(aux_offsets)))
+        )
+    pre_openings: Dict[int, list] = {}
+    pre_off = tuple(air.pre_offsets) if air.pre_width else ()
+    if air.pre_width:
+        pre_openings = dict(
+            zip(pre_off, _eval_cols_at_points(pk.pre_coeffs, zs_for(pre_off)))
+        )
     q_zeta_pairs = _eval_cols_at(q_coeffs, zeta)
 
     for k in offsets:
@@ -454,6 +525,9 @@ def prove(
             transcript.observe_extension(v)
     for k in aux_offsets:
         for v in aux_openings[k]:
+            transcript.observe_extension(v)
+    for k in pre_off:
+        for v in pre_openings[k]:
             transcript.observe_extension(v)
     for v in q_zeta_pairs:
         transcript.observe_extension(v)
@@ -464,27 +538,63 @@ def prove(
     pts = _lde_points(log_n, cfg.rate_bits)
     x_vec = ext.from_base(gl.from_int(pts))  # (N, 2, 2)
     inv_by_offset = {}
-    for k in sorted(set(offsets) | set(aux_offsets)):
+    for k in sorted(set(offsets) | set(aux_offsets) | set(pre_off)):
         zk = F2.mul(zeta, (pow(g_n, k, gl.P), 0))
         inv_by_offset[k] = ext.inv(ext.sub(x_vec, _ext_const_vec(zk, N)))
 
-    alpha2_vec = _ext_const_vec(alpha2, N)
-    acc = None
-    terms = []
-    for k in offsets:
-        for i in range(width):
-            terms.append((main_rows[:, i, :], main_openings[k][i], inv_by_offset[k]))
-    for k in aux_offsets:
-        for i in range(air.aux_width):
-            terms.append((aux_rows[:, i, :], aux_openings[k][i], inv_by_offset[k]))
+    # Vectorized DEEP: stack every term's column values / claimed opening /
+    # inverse vector, weight by alpha2^(T-1-j) (identical to the verifier's
+    # sequential Horner), and tree-reduce. One fused batch instead of ~10^3
+    # sequential extension ops.
     q_rows = jnp.asarray(q_rows_np)
-    for i in range(2 * blowup):
-        terms.append((q_rows[:, i, :], q_zeta_pairs[i], inv_by_offset[0]))
+    col_parts = []
+    y_list = []
+    inv_idx = []
+    for k in offsets:
+        col_parts.append(jnp.moveaxis(main_rows, 1, 0))
+        y_list.extend(main_openings[k])
+        inv_idx.extend([k] * width)
+    for k in aux_offsets:
+        col_parts.append(jnp.moveaxis(aux_rows, 1, 0))
+        y_list.extend(aux_openings[k])
+        inv_idx.extend([k] * air.aux_width)
+    if air.pre_width:
+        for k in pre_off:
+            col_parts.append(jnp.moveaxis(pre_rows, 1, 0))
+            y_list.extend(pre_openings[k])
+            inv_idx.extend([k] * air.pre_width)
+    col_parts.append(jnp.moveaxis(q_rows, 1, 0))
+    y_list.extend(q_zeta_pairs)
+    inv_idx.extend([0] * (2 * blowup))
 
-    for col_vals, y, inv_vec in terms:
-        term = ext.sub(ext.from_base(col_vals), _ext_const_vec(y, N))
-        term = ext.mul(term, inv_vec)
-        acc = term if acc is None else ext.add(ext.mul(acc, alpha2_vec), term)
+    col_stack = jnp.concatenate(col_parts, axis=0)  # (T, N, 2)
+    T = col_stack.shape[0]
+    y_stack = ext.from_int_pair(
+        np.array([y[0] for y in y_list], dtype=np.uint64),
+        np.array([y[1] for y in y_list], dtype=np.uint64),
+    )  # (T, 2, 2)
+    inv_stack = jnp.stack([inv_by_offset[k] for k in inv_idx])  # (T, N, 2, 2)
+    # weights alpha2^(T-1-j), host ints
+    w_c0 = np.empty(T, dtype=np.uint64)
+    w_c1 = np.empty(T, dtype=np.uint64)
+    wcur = (1, 0)
+    for j in range(T - 1, -1, -1):
+        w_c0[j], w_c1[j] = wcur
+        wcur = F2.mul(wcur, alpha2)
+    w_stack = ext.from_int_pair(w_c0, w_c1)  # (T, 2, 2)
+
+    vals = ext.from_base(col_stack)  # (T, N, 2, 2)
+    terms_v = ext.mul(ext.sub(vals, y_stack[:, None]), inv_stack)
+    weighted = ext.mul(terms_v, w_stack[:, None])
+    # tree-sum over the term axis (pad to a power of two)
+    Tp = 1 << (T - 1).bit_length()
+    if Tp != T:
+        weighted = jnp.pad(weighted, [(0, Tp - T), (0, 0), (0, 0), (0, 0)])
+    k2 = Tp
+    while k2 > 1:
+        k2 //= 2
+        weighted = ext.add(weighted[:k2], weighted[k2:2 * k2])
+    acc = weighted[0]
 
     fri_proof, indices = fri.fri_prove(acc, transcript, cfg.fri())
 
@@ -505,6 +615,11 @@ def prove(
                 values=[int(v) for v in gl.to_int(aux_rows_np[q])],
                 siblings=[s.tolist() for s in aux_tree.open(q)],
             )
+        if air.pre_width:
+            entry["pre"] = OpenedRow(
+                values=[int(v) for v in gl.to_int(pk.pre_rows_np[q])],
+                siblings=[s.tolist() for s in pk.pre_tree.open(q)],
+            )
         query_openings.append(entry)
 
     return StarkProof(
@@ -514,6 +629,7 @@ def prove(
         quotient_cap=q_tree.cap_ints(),
         main_openings=main_openings,
         aux_openings=aux_openings,
+        pre_openings=pre_openings,
         quotient_zeta=q_zeta_pairs,
         fri_proof=fri_proof,
         query_openings=query_openings,
@@ -544,6 +660,7 @@ def verify(
     proof: StarkProof,
     publics: Sequence[int],
     cfg: StarkConfig = StarkConfig(),
+    vk: Optional[VerifierKey] = None,
 ) -> bool:
     n = proof.n_rows
     log_n = n.bit_length() - 1
@@ -553,9 +670,14 @@ def verify(
     blowup = 1 << cfg.rate_bits
     offsets = tuple(air.row_offsets)
     aux_offsets = (0, 1) if air.aux_width else ()
+    pre_off = tuple(air.pre_offsets) if air.pre_width else ()
+    if air.pre_width and vk is None:
+        _, vk = build(air, n, cfg)
 
     transcript = Transcript()
     _observe_preamble(transcript, air, n, publics)
+    if air.pre_width:
+        transcript.observe_cap(vk.pre_cap)
     transcript.observe_cap(proof.main_cap)
     challenges: List[Tuple[int, int]] = []
     if air.aux_width:
@@ -574,6 +696,9 @@ def verify(
     for k in aux_offsets:
         if k not in proof.aux_openings or len(proof.aux_openings[k]) != air.aux_width:
             return False
+    for k in pre_off:
+        if k not in proof.pre_openings or len(proof.pre_openings[k]) != air.pre_width:
+            return False
     if len(proof.quotient_zeta) != 2 * blowup:
         return False
 
@@ -582,6 +707,9 @@ def verify(
             transcript.observe_extension(v)
     for k in aux_offsets:
         for v in proof.aux_openings[k]:
+            transcript.observe_extension(v)
+    for k in pre_off:
+        for v in proof.pre_openings[k]:
             transcript.observe_extension(v)
     for v in proof.quotient_zeta:
         transcript.observe_extension(v)
@@ -600,6 +728,11 @@ def verify(
         _periodic_at_point([int(v) for v in vals], zeta, log_n)
         for vals in air.periodic_columns
     ]
+    pre_at_zeta = (
+        {k: [tuple(v) for v in proof.pre_openings[k]] for k in pre_off}
+        if air.pre_width
+        else None
+    )
     builder = AirBuilder(
         ExtPointBackend(),
         rows=rows_at_zeta,
@@ -607,6 +740,7 @@ def verify(
         aux_rows=aux_at_zeta,
         challenges=challenges,
         periodic=periodic_at,
+        pre_rows=pre_at_zeta,
     )
     air.eval(builder)
     sels_pt = _selectors_at_point(zeta, log_n)
@@ -628,7 +762,7 @@ def verify(
     pts = _lde_points(log_n, cfg.rate_bits)
     zeta_by_offset = {
         k: F2.mul(zeta, (pow(g_n, k, gl.P), 0))
-        for k in sorted(set(offsets) | set(aux_offsets))
+        for k in sorted(set(offsets) | set(aux_offsets) | set(pre_off))
     }
 
     def eval_at_index(round_i: int, q: int):
@@ -649,6 +783,14 @@ def verify(
             if not _verify_row_path(aux.values, q, aux.siblings, proof.aux_cap):
                 return None
             aux_vals = aux.values
+        pre_vals = []
+        if air.pre_width:
+            pre = entry["pre"]
+            if len(pre.values) != air.pre_width:
+                return None
+            if not _verify_row_path(pre.values, q, pre.siblings, vk.pre_cap):
+                return None
+            pre_vals = pre.values
         x = (int(pts[q]), 0)
         inv_at = {
             k: F2.inv(F2.sub(x, zk)) for k, zk in zeta_by_offset.items()
@@ -660,6 +802,9 @@ def verify(
         for k in aux_offsets:
             for i in range(air.aux_width):
                 terms.append((aux_vals[i], proof.aux_openings[k][i], inv_at[k]))
+        for k in pre_off:
+            for i in range(air.pre_width):
+                terms.append((pre_vals[i], proof.pre_openings[k][i], inv_at[k]))
         for i in range(2 * blowup):
             terms.append((quot.values[i], proof.quotient_zeta[i], inv_at[0]))
         acc = None
