@@ -1,4 +1,4 @@
-"""SHA-256 compression AIR ("chip").
+"""SHA-256 compression AIR ("chip") with bus I/O.
 
 The TPU-native equivalent of the reference's Curta SHA-256 STARK
 accelerator (SURVEY.md D10; reference plonky2x ``builder.sha256`` /
@@ -6,30 +6,41 @@ starkyx). One 68-row segment proves one compression:
 
   row r=0..3   loading: (A,E) hold (d_in,h_in),(c_in,g_in),(b_in,f_in),(a_in,e_in)
   row r=3+t    working state (a,e) entering round t, t = 0..64
-  row r=64     digest: out_j = si_j + final_state_j (mod 2^32)
+  row r=64..67 digest rows: (out_a, out_e) = chaining-add of word j = 67-r
 
 Working values b,c,d / f,g,h are *not* stored: they equal a/e at earlier
 rows, read through the row-offset window. The message schedule lives in
 the same rows (w for round t at row t+3) with its recurrence checked at
-offsets +1/+9/+14/+16. Round constants and all segment-position selectors
-are preprocessed columns (built once per trace height — the analogue of
-the reference's circuit build step).
+offsets +1/+9/+14/+16.
 
-Column layout (width 123):
-  0..31   a bits      32..63  e bits      64..95  w bits
+The *compression schedule* — which segment proves which (instance, block),
+chaining and finality — is fixed at circuit build time and lives entirely
+in preprocessed columns, so dummy segments cost nothing on the bus.
+Bus protocol:
+  * receive SHA_W (inst, blk, slot, word) at rows 3..18  [from the CPU]
+  * first block:  si == H0 enforced directly
+  * chained block: receive SHA_CHAIN_A/E (inst, blk, j, si word) rows 0..3
+  * non-final block: send SHA_CHAIN_A/E (inst, blk+1, j, out word) rows 64..67
+  * final block:  send SHA_OUT_A/E (inst, j, out word) rows 64..67 [to CPU]
+
+Column layout (width 103):
+  0..31 a bits   32..63 e bits   64..95 w bits
   96 carry_a  97 carry_e  98 carry_w
-  99..106 si (chaining input words, copied through the segment)
-  107..114 out (digest words, defined at r=64)
-  115..122 co (digest carry bools)
+  99..106 si words (copied through the segment)
+  107 out_a  108 out_e  109 co_a  110 co_e
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence
 
 import numpy as np
 
 from ..field import goldilocks as gl
 from ..ops import sha256 as sha
 from ..proof.air import Air, AirBuilder, Elem
+from . import channels as ch
 
 SEGMENT = 68
 ROUNDS = 64
@@ -41,18 +52,54 @@ COL_CA = 96
 COL_CE = 97
 COL_CW = 98
 COL_SI = 99
-COL_OUT = 107
-COL_CO = 115
-WIDTH = 123
+COL_OUT_A = 107
+COL_OUT_E = 108
+COL_CO_A = 109
+COL_CO_E = 110
+WIDTH = 111
 
 # preprocessed column indices
-P_K = 0
-P_SR = 1  # round anchor selector (r in 0..63)
-P_SW = 2  # schedule anchor selector (r in 3..50)
-P_OUT = 3  # digest row selector (r == 64)
-P_L0, P_L1, P_L2, P_L3 = 4, 5, 6, 7
-P_SICOPY = 8
-PRE_WIDTH = 9
+P_K = 0        # round constant K_t at anchor rows
+P_SR = 1       # round anchor selector (r in 0..63)
+P_SW = 2       # schedule anchor selector (r in 3..50)
+P_SICOPY = 3   # si copy selector (r in 0..66)
+P_L0 = 4       # one-hots r==0..3 (4 cols)
+P_D0 = 8       # one-hots r==64..67 (4 cols)
+P_J = 12       # digest word index: r at rows 0..3; 67-r at rows 64..67
+P_WSLOT = 13   # message word slot (r-3) at rows 3..18
+P_INST = 14    # instance id of this segment's message
+P_BLK = 15     # block index within the message
+P_FIRSTB = 16  # 1 at r==0 of a real first block (si == H0)
+P_CHAINED = 17 # 1 at rows 0..3 of a real chained block (chain receive)
+P_WRECV = 18   # 1 at rows 3..18 of a real block (w receive)
+P_LASTB = 19   # 1 at rows 64..67 of a real final block (digest send)
+P_CHSEND = 20  # 1 at rows 64..67 of a real non-final block (chain send)
+PRE_WIDTH = 21
+
+
+@dataclass
+class SegmentInfo:
+    """Schedule entry: segment s proves block `blk` of message `inst`."""
+
+    inst: int
+    blk: int
+    is_first: bool
+    is_last: bool
+    real: bool = True
+
+
+def schedule_for(messages: Sequence[Sequence], n_rows: int) -> List[SegmentInfo]:
+    """messages: list of per-message block counts (ints) or block lists."""
+    n_seg = n_rows // SEGMENT
+    sched: List[SegmentInfo] = []
+    for inst, m in enumerate(messages):
+        n_blocks = m if isinstance(m, int) else len(m)
+        for b in range(n_blocks):
+            sched.append(SegmentInfo(inst, b, b == 0, b == n_blocks - 1))
+    assert len(sched) <= n_seg, "trace too small for schedule"
+    while len(sched) < n_seg:
+        sched.append(SegmentInfo(0, 0, True, True, real=False))
+    return sched
 
 
 def _xor2(x: Elem, y: Elem) -> Elem:
@@ -71,10 +118,14 @@ class Sha256Air(Air):
     pre_offsets = (0,)
     max_constraint_degree = 8
 
+    def __init__(self, schedule: List[SegmentInfo], n_rows: int):
+        self.schedule = schedule
+        self.n_rows = n_rows
+
     def preprocessed_columns(self, n: int) -> np.ndarray:
+        assert n == self.n_rows
         pre = np.zeros((n, PRE_WIDTH), dtype=np.uint64)
-        n_seg = n // SEGMENT
-        for s in range(n_seg):
+        for s, seg in enumerate(self.schedule):
             base = s * SEGMENT
             for r in range(SEGMENT):
                 row = base + r
@@ -83,254 +134,265 @@ class Sha256Air(Air):
                     pre[row, P_SR] = 1
                 if 3 <= r <= 50:
                     pre[row, P_SW] = 1
-                if r == 64:
-                    pre[row, P_OUT] = 1
-                if r < 4:
-                    pre[row, P_L0 + r] = 1
                 if r <= 66:
                     pre[row, P_SICOPY] = 1
+                if r < 4:
+                    pre[row, P_L0 + r] = 1
+                    pre[row, P_J] = r
+                if 64 <= r <= 67:
+                    pre[row, P_D0 + r - 64] = 1
+                    pre[row, P_J] = 67 - r
+                if 3 <= r <= 18:
+                    pre[row, P_WSLOT] = r - 3
+                pre[row, P_INST] = seg.inst
+                pre[row, P_BLK] = seg.blk
+                if seg.real:
+                    if seg.is_first and r == 0:
+                        pre[row, P_FIRSTB] = 1
+                    if not seg.is_first and r < 4:
+                        pre[row, P_CHAINED] = 1
+                    if 3 <= r <= 18:
+                        pre[row, P_WRECV] = 1
+                    if 64 <= r <= 67:
+                        if seg.is_last:
+                            pre[row, P_LASTB] = 1
+                        else:
+                            pre[row, P_CHSEND] = 1
         return pre
 
     # -- helpers -----------------------------------------------------------
 
     @staticmethod
-    def _word(b: AirBuilder, off: int, col_base: int) -> Elem:
-        acc = None
-        for i in range(32):
-            term = (1 << i) * b.row(off, col_base + i)
-            acc = term if acc is None else acc + term
-        return acc
-
-    @staticmethod
-    def _sigma_big(b, off, col_base, r1, r2, r3) -> Elem:
-        """Sum_i 2^i (bit[(i+r1)%32] ^ bit[(i+r2)%32] ^ bit[(i+r3)%32])."""
-        acc = None
-        for i in range(32):
-            x = b.row(off, col_base + (i + r1) % 32)
-            y = b.row(off, col_base + (i + r2) % 32)
-            z = b.row(off, col_base + (i + r3) % 32)
-            term = (1 << i) * _xor3(x, y, z)
-            acc = term if acc is None else acc + term
-        return acc
-
-    @staticmethod
-    def _sigma_small(b, off, r1, r2, shift) -> Elem:
-        """rotr r1 ^ rotr r2 ^ shr shift over the w word at offset `off`."""
-        acc = None
-        for i in range(32):
-            x = b.row(off, COL_W + (i + r1) % 32)
-            y = b.row(off, COL_W + (i + r2) % 32)
-            if i + shift < 32:
-                z = b.row(off, COL_W + i + shift)
-                bit = _xor3(x, y, z)
-            else:
-                bit = _xor2(x, y)
-            term = (1 << i) * bit
-            acc = term if acc is None else acc + term
-        return acc
-
-    @staticmethod
-    def _range_check(b, e: Elem, hi: int, scope=None):
+    def _range_check(b, e: Elem, hi: int):
         acc = e
         for j in range(1, hi + 1):
             acc = acc * (e - j)
         b.assert_zero(acc)
 
-    # -- constraints --------------------------------------------------------
+    POW2 = [1 << i for i in range(32)]
 
     def eval(self, b: AirBuilder):
-        # bit columns boolean
-        for c in range(COL_A, COL_W + 32):
-            b.assert_bool(b.local(c))
-        for j in range(8):
-            b.assert_bool(b.local(COL_CO + j))
-        # carry ranges (witness zeros outside anchors keep these in range)
+        P2 = self.POW2
+        a_bits = {k: b.row_stack(k, COL_A, 32) for k in (0, 1, 2, 3, 4)}
+        e_bits = {k: b.row_stack(k, COL_E, 32) for k in (0, 1, 2, 3, 4)}
+        w_bits = {k: b.row_stack(k, COL_W, 32) for k in (0, 1, 3, 9, 14, 16)}
+
+        for e in (a_bits[0], e_bits[0], w_bits[0]):
+            b.assert_bool(e)
+        b.assert_bool(b.local(COL_CO_A))
+        b.assert_bool(b.local(COL_CO_E))
         self._range_check(b, b.local(COL_CA), 7)
         self._range_check(b, b.local(COL_CE), 7)
         self._range_check(b, b.local(COL_CW), 3)
 
         sr = b.pre_local(P_SR)
         sw = b.pre_local(P_SW)
-        out_sel = b.pre_local(P_OUT)
         si_copy = b.pre_local(P_SICOPY)
         k_const = b.pre_local(P_K)
+
+        def word(bits_stacked):
+            return b.fold(bits_stacked, P2)
+
+        def rot(e, r):
+            return b.gather(e, [(i + r) % 32 for i in range(32)])
+
+        a0_val = word(a_bits[0])
+        e0_val = word(e_bits[0])
 
         # loading rows bind (A, E) to the chaining input copies
         for j in range(4):
             lj = b.pre_local(P_L0 + j)
-            a_val = self._word(b, 0, COL_A)
-            e_val = self._word(b, 0, COL_E)
-            b.assert_zero(lj * (a_val - b.local(COL_SI + 3 - j)))
-            b.assert_zero(lj * (e_val - b.local(COL_SI + 7 - j)))
+            b.assert_zero(lj * (a0_val - b.local(COL_SI + 3 - j)))
+            b.assert_zero(lj * (e0_val - b.local(COL_SI + 7 - j)))
 
         # si copies within the segment
         for j in range(8):
             b.assert_zero(si_copy * (b.next(COL_SI + j) - b.local(COL_SI + j)))
 
-        # round function, anchored at v (round t = r(v)):
-        #   rows v..v+3 hold (d,h),(c,g),(b,f),(a,e); v+4 gets the new (a,e)
-        s1 = self._sigma_big(b, 3, COL_E, 6, 11, 25)
-        ch = None
-        for i in range(32):
-            e_i = b.row(3, COL_E + i)
-            f_i = b.row(2, COL_E + i)
-            g_i = b.row(1, COL_E + i)
-            term = (1 << i) * (e_i * f_i + g_i - e_i * g_i)
-            ch = term if ch is None else ch + term
-        w_t = self._word(b, 3, COL_W)
-        h_val = self._word(b, 0, COL_E)
-        d_val = self._word(b, 0, COL_A)
-        t1 = h_val + s1 + ch + k_const + w_t
-        e_new = self._word(b, 4, COL_E)
-        b.assert_zero(sr * (e_new + (1 << 32) * b.local(COL_CE) - (d_val + t1)))
+        # first block: si == H0
+        firstb = b.pre_local(P_FIRSTB)
+        for j in range(8):
+            b.assert_zero(firstb * (b.local(COL_SI + j) - int(sha.H0[j])))
 
-        s0 = self._sigma_big(b, 3, COL_A, 2, 13, 22)
-        maj = None
-        for i in range(32):
-            a_i = b.row(3, COL_A + i)
-            b_i = b.row(2, COL_A + i)
-            c_i = b.row(1, COL_A + i)
-            ab = a_i * b_i
-            term = (1 << i) * (ab + a_i * c_i + b_i * c_i - 2 * (ab * c_i))
-            maj = term if maj is None else maj + term
-        a_new = self._word(b, 4, COL_A)
+        # round function (see module docstring)
+        e3, f3, g3 = e_bits[3], e_bits[2], e_bits[1]
+        s1 = word(_xor3(rot(e3, 6), rot(e3, 11), rot(e3, 25)))
+        ch_val = word(e3 * f3 + g3 - e3 * g3)
+        w_t = word(w_bits[3])
+        t1 = e0_val + s1 + ch_val + k_const + w_t
+        e_new = word(e_bits[4])
+        b.assert_zero(sr * (e_new + (1 << 32) * b.local(COL_CE) - (a0_val + t1)))
+
+        a3, b3, c3 = a_bits[3], a_bits[2], a_bits[1]
+        s0 = word(_xor3(rot(a3, 2), rot(a3, 13), rot(a3, 22)))
+        ab = a3 * b3
+        maj = word(ab + a3 * c3 + b3 * c3 - 2 * (ab * c3))
+        a_new = word(a_bits[4])
         b.assert_zero(sr * (a_new + (1 << 32) * b.local(COL_CA) - (t1 + s0 + maj)))
 
-        # message schedule, anchored at v' (w_t at row t+3):
-        #   w(v'+16) = w(v') + sigma0(w(v'+1)) + w(v'+9) + sigma1(w(v'+14))
-        w0 = self._word(b, 0, COL_W)
-        sig0 = self._sigma_small(b, 1, 7, 18, 3)
-        w9 = self._word(b, 9, COL_W)
-        sig1 = self._sigma_small(b, 14, 17, 19, 10)
-        w16 = self._word(b, 16, COL_W)
+        # message schedule
+        def sigma_small(bits, r1, r2, shift):
+            x = rot(bits, r1)
+            y = rot(bits, r2)
+            xy = _xor2(x, y)
+            full = _xor3(x, y, b.gather(bits, [(i + shift) % 32 for i in range(32)]))
+            lanes_full = [i for i in range(32) if i + shift < 32]
+            lanes_xy = [i for i in range(32) if i + shift >= 32]
+            return b.fold(b.gather(full, lanes_full), [1 << i for i in lanes_full]) + \
+                b.fold(b.gather(xy, lanes_xy), [1 << i for i in lanes_xy])
+
+        w0 = word(w_bits[0])
+        sig0 = sigma_small(w_bits[1], 7, 18, 3)
+        w9 = word(w_bits[9])
+        sig1 = sigma_small(w_bits[14], 17, 19, 10)
+        w16 = word(w_bits[16])
         b.assert_zero(
             sw * (w16 + (1 << 32) * b.local(COL_CW) - (w0 + sig0 + w9 + sig1))
         )
 
-        # digest at r=64: out_j = si_j + final_state_j
+        # digest rows r=64..67: word j = 67-r; out = si_j + final_word
+        #   final a-word at row 64+i is A(local) with word index j=3-i,
+        #   paired chaining word si_j (a side) / si_{4+j} (e side).
+        for i in range(4):
+            di = b.pre_local(P_D0 + i)
+            j = 3 - i
+            b.assert_zero(
+                di
+                * (
+                    b.local(COL_OUT_A)
+                    + (1 << 32) * b.local(COL_CO_A)
+                    - (b.local(COL_SI + j) + a0_val)
+                )
+            )
+            b.assert_zero(
+                di
+                * (
+                    b.local(COL_OUT_E)
+                    + (1 << 32) * b.local(COL_CO_E)
+                    - (b.local(COL_SI + 4 + j) + e0_val)
+                )
+            )
+
+        # -- bus ---------------------------------------------------------
+        inst = b.pre_local(P_INST)
+        blk = b.pre_local(P_BLK)
+        jcol = b.pre_local(P_J)
+        # message words from the CPU
+        b.receive(
+            ch.SHA_W,
+            [inst, blk, b.pre_local(P_WSLOT), word(w_bits[0])],
+            b.pre_local(P_WRECV),
+        )
+        # chained si words (value = si_{P_J} via the row one-hots)
+        si_a = None
+        si_e = None
         for j in range(4):
-            fin = self._word(b, 3 - j, COL_A)
-            b.assert_zero(
-                out_sel
-                * (
-                    b.local(COL_OUT + j)
-                    + (1 << 32) * b.local(COL_CO + j)
-                    - (b.local(COL_SI + j) + fin)
-                )
-            )
-            fin_e = self._word(b, 3 - j, COL_E)
-            b.assert_zero(
-                out_sel
-                * (
-                    b.local(COL_OUT + 4 + j)
-                    + (1 << 32) * b.local(COL_CO + 4 + j)
-                    - (b.local(COL_SI + 4 + j) + fin_e)
-                )
-            )
+            lj = b.pre_local(P_L0 + j)
+            ta = lj * b.local(COL_SI + j)
+            te = lj * b.local(COL_SI + 4 + j)
+            si_a = ta if si_a is None else si_a + ta
+            si_e = te if si_e is None else si_e + te
+        chained = b.pre_local(P_CHAINED)
+        b.receive(ch.SHA_CHAIN_A, [inst, blk, jcol, si_a], chained)
+        b.receive(ch.SHA_CHAIN_E, [inst, blk, jcol, si_e], chained)
+        # chain sends to the next block
+        chsend = b.pre_local(P_CHSEND)
+        b.send(ch.SHA_CHAIN_A, [inst, blk + 1, jcol, b.local(COL_OUT_A)], chsend)
+        b.send(ch.SHA_CHAIN_E, [inst, blk + 1, jcol, b.local(COL_OUT_E)], chsend)
+        # digest sends to the CPU
+        lastb = b.pre_local(P_LASTB)
+        b.send(ch.SHA_OUT_A, [inst, jcol, b.local(COL_OUT_A)], lastb)
+        b.send(ch.SHA_OUT_E, [inst, jcol, b.local(COL_OUT_E)], lastb)
 
 
 # ---------------------------------------------------------------------------
 # witness generation
 # ---------------------------------------------------------------------------
 
-def num_segments(n_rows: int) -> int:
-    return n_rows // SEGMENT
+def build_trace(messages: Sequence[np.ndarray], n_rows: int,
+                schedule: List[SegmentInfo]) -> np.ndarray:
+    """messages[i]: (n_blocks_i, 16) uint32 block words for instance i.
 
-
-def build_trace(instances, n_rows: int) -> np.ndarray:
-    """instances: list of (state_in uint32[8], block uint32[16]).
-
-    Pads with dummy compressions (H0 state, zero block) to fill every
-    segment; tail rows beyond the last segment stay zero (all selectors
-    are zero there).
+    The schedule must enumerate each message's blocks in order (as produced
+    by schedule_for). Returns the (n_rows, WIDTH) uint64 trace.
     """
-    n_seg = num_segments(n_rows)
-    assert len(instances) <= n_seg, "trace too small for instance count"
-    inst = list(instances) + [
-        (sha.H0.copy(), np.zeros(16, dtype=np.uint32))
-        for _ in range(n_seg - len(instances))
-    ]
-    B = len(inst)
-    state_in = np.stack([np.asarray(si, dtype=np.uint32) for si, _ in inst])
-    blocks = np.stack([np.asarray(blk, dtype=np.uint32) for _, blk in inst])
-    state_out, tr = sha.compress_blocks(blocks, state_in, trace=True)
-    states = tr["state"].astype(np.uint64)  # (B, 65, 8)
-    w = tr["w"].astype(np.uint64)  # (B, 64)
+    n_seg = n_rows // SEGMENT
+    assert len(schedule) == n_seg
+
+    # run compressions with chaining, per segment
+    seg_blocks = np.zeros((n_seg, 16), dtype=np.uint32)
+    seg_state_in = np.zeros((n_seg, 8), dtype=np.uint32)
+    chain_state = {}
+    for s, seg in enumerate(schedule):
+        if seg.real:
+            blk = np.asarray(messages[seg.inst][seg.blk], dtype=np.uint32)
+        else:
+            blk = np.zeros(16, dtype=np.uint32)
+        seg_blocks[s] = blk
+        if seg.real and not seg.is_first:
+            seg_state_in[s] = chain_state[seg.inst]
+        else:
+            seg_state_in[s] = sha.H0
+        out, _ = sha.compress_blocks(blk[None], seg_state_in[s][None], trace=True)
+        chain_state[seg.inst] = out[0]
+
+    state_out, tr = sha.compress_blocks(seg_blocks, seg_state_in, trace=True)
+    states = tr["state"].astype(np.uint64)  # (n_seg, 65, 8)
+    w = tr["w"].astype(np.uint64)  # (n_seg, 64)
 
     trace = np.zeros((n_rows, WIDTH), dtype=np.uint64)
 
-    # values per segment row
-    a_vals = np.zeros((B, SEGMENT), dtype=np.uint64)
-    e_vals = np.zeros((B, SEGMENT), dtype=np.uint64)
-    w_vals = np.zeros((B, SEGMENT), dtype=np.uint64)
-    a_vals[:, 0] = state_in[:, 3]
-    a_vals[:, 1] = state_in[:, 2]
-    a_vals[:, 2] = state_in[:, 1]
-    e_vals[:, 0] = state_in[:, 7]
-    e_vals[:, 1] = state_in[:, 6]
-    e_vals[:, 2] = state_in[:, 5]
+    a_vals = np.zeros((n_seg, SEGMENT), dtype=np.uint64)
+    e_vals = np.zeros((n_seg, SEGMENT), dtype=np.uint64)
+    w_vals = np.zeros((n_seg, SEGMENT), dtype=np.uint64)
+    a_vals[:, 0] = seg_state_in[:, 3]
+    a_vals[:, 1] = seg_state_in[:, 2]
+    a_vals[:, 2] = seg_state_in[:, 1]
+    e_vals[:, 0] = seg_state_in[:, 7]
+    e_vals[:, 1] = seg_state_in[:, 6]
+    e_vals[:, 2] = seg_state_in[:, 5]
     a_vals[:, 3:] = states[:, :, 0]
     e_vals[:, 3:] = states[:, :, 4]
     w_vals[:, 3:67] = w
 
-    # carries for round anchors v = t (t in 0..63)
-    S1 = np.zeros((B, 64), dtype=np.uint64)
-    CH = np.zeros((B, 64), dtype=np.uint64)
-    S0 = np.zeros((B, 64), dtype=np.uint64)
-    MAJ = np.zeros((B, 64), dtype=np.uint64)
+    # round carries
     a = states[:, :, 0].astype(np.uint32)
     e = states[:, :, 4].astype(np.uint32)
+    S1 = np.zeros((n_seg, 64), dtype=np.uint64)
+    CH = np.zeros((n_seg, 64), dtype=np.uint64)
+    S0 = np.zeros((n_seg, 64), dtype=np.uint64)
+    MAJ = np.zeros((n_seg, 64), dtype=np.uint64)
     for t in range(64):
-        et = e[:, t]
-        ft = states[:, t, 5].astype(np.uint32)
-        gt = states[:, t, 6].astype(np.uint32)
-        at = a[:, t]
-        bt = states[:, t, 1].astype(np.uint32)
-        ct = states[:, t, 2].astype(np.uint32)
-        S1[:, t] = (
-            ((et >> 6) | (et << 26)) ^ ((et >> 11) | (et << 21)) ^ ((et >> 25) | (et << 7))
-        ).astype(np.uint64)
+        et, ft, gt = e[:, t], states[:, t, 5].astype(np.uint32), states[:, t, 6].astype(np.uint32)
+        at, bt, ct = a[:, t], states[:, t, 1].astype(np.uint32), states[:, t, 2].astype(np.uint32)
+        S1[:, t] = (((et >> 6) | (et << 26)) ^ ((et >> 11) | (et << 21)) ^ ((et >> 25) | (et << 7))).astype(np.uint64)
         CH[:, t] = ((et & ft) ^ (~et & gt)).astype(np.uint64)
-        S0[:, t] = (
-            ((at >> 2) | (at << 30)) ^ ((at >> 13) | (at << 19)) ^ ((at >> 22) | (at << 10))
-        ).astype(np.uint64)
+        S0[:, t] = (((at >> 2) | (at << 30)) ^ ((at >> 13) | (at << 19)) ^ ((at >> 22) | (at << 10))).astype(np.uint64)
         MAJ[:, t] = ((at & bt) ^ (at & ct) ^ (bt & ct)).astype(np.uint64)
-
-    h_arr = states[:, :64, 7]
-    d_arr = states[:, :64, 3]
-    k_arr = sha.K.astype(np.uint64)[None, :]
-    w64 = w
-    t1_full = h_arr + S1 + CH + k_arr + w64
-    e_new_full = d_arr + t1_full
+    t1_full = states[:, :64, 7] + S1 + CH + sha.K.astype(np.uint64)[None] + w
+    e_new_full = states[:, :64, 3] + t1_full
     carry_e = e_new_full >> 32
     a_new_full = t1_full + S0 + MAJ
     carry_a = a_new_full >> 32
-    # sanity vs recorded next state
     assert np.array_equal(e_new_full & 0xFFFFFFFF, states[:, 1:, 4])
     assert np.array_equal(a_new_full & 0xFFFFFFFF, states[:, 1:, 0])
 
-    # schedule carries at anchor rows v' = 3..50 (t' = r - 3 in 0..47)
-    carry_w = np.zeros((B, SEGMENT), dtype=np.uint64)
+    carry_w = np.zeros((n_seg, SEGMENT), dtype=np.uint64)
     for r in range(3, 51):
-        tm16 = w[:, r - 3]
-        tm15 = w[:, r - 2]
-        tm7 = w[:, r + 6]
-        tm2 = w[:, r + 11]
-        x15 = tm15.astype(np.uint32)
-        x2 = tm2.astype(np.uint32)
+        x15 = w[:, r - 2].astype(np.uint32)
+        x2 = w[:, r + 11].astype(np.uint32)
         s0 = (((x15 >> 7) | (x15 << 25)) ^ ((x15 >> 18) | (x15 << 14)) ^ (x15 >> 3)).astype(np.uint64)
         s1 = (((x2 >> 17) | (x2 << 15)) ^ ((x2 >> 19) | (x2 << 13)) ^ (x2 >> 10)).astype(np.uint64)
-        full = tm16 + s0 + tm7 + s1
+        full = w[:, r - 3] + s0 + w[:, r + 6] + s1
         assert np.array_equal(full & 0xFFFFFFFF, w[:, r + 13])
         carry_w[:, r] = full >> 32
 
-    out = (state_in.astype(np.uint64) + states[:, 64, :])
-    co = out >> 32
-    out &= 0xFFFFFFFF
+    out_full = seg_state_in.astype(np.uint64) + states[:, 64, :]
+    co = out_full >> 32
+    out = out_full & 0xFFFFFFFF
     assert np.array_equal(out.astype(np.uint32), state_out)
 
-    # scatter into the trace
-    for s in range(B):
+    for s in range(n_seg):
         base = s * SEGMENT
         rows = slice(base, base + SEGMENT)
         for i in range(32):
@@ -341,16 +403,22 @@ def build_trace(instances, n_rows: int) -> np.ndarray:
         trace[base:base + 64, COL_CE] = carry_e[s]
         trace[rows, COL_CW] = carry_w[s]
         for j in range(8):
-            trace[rows, COL_SI + j] = state_in[s, j]
-        trace[base + 64, COL_OUT:COL_OUT + 8] = out[s]
-        trace[base + 64, COL_CO:COL_CO + 8] = co[s]
+            trace[rows, COL_SI + j] = seg_state_in[s, j]
+        for i in range(4):
+            j = 3 - i
+            trace[base + 64 + i, COL_OUT_A] = out[s, j]
+            trace[base + 64 + i, COL_OUT_E] = out[s, 4 + j]
+            trace[base + 64 + i, COL_CO_A] = co[s, j]
+            trace[base + 64 + i, COL_CO_E] = co[s, 4 + j]
     return trace
 
 
-def digest_rows(trace: np.ndarray, n_instances: int):
-    """Extract digest words from the witness (row r=64 per segment)."""
+def digests(messages: Sequence[np.ndarray]) -> List[List[int]]:
+    """Expected digest words per instance (for building bus expectations)."""
     outs = []
-    for s in range(n_instances):
-        row = trace[s * SEGMENT + 64]
-        outs.append([int(v) for v in row[COL_OUT:COL_OUT + 8]])
+    for blocks in messages:
+        state = sha.H0[None].copy()
+        for blk in np.asarray(blocks, dtype=np.uint32):
+            state = sha.compress_blocks(blk[None], state)
+        outs.append([int(v) for v in state[0]])
     return outs

@@ -108,7 +108,11 @@ class ExtElem:
 
 
 class BaseLdeBackend:
-    """Values are (N, 2) uint32-limb jnp arrays over the LDE domain."""
+    """Values are (N, 2) uint32-limb jnp arrays over the LDE domain.
+
+    "Stacked" handles carry a leading lane axis (K, N, 2) so whole words of
+    bit columns run through one vectorized op (broadcasts against scalars).
+    """
 
     def __init__(self, n_points: int):
         self.n = n_points
@@ -125,21 +129,71 @@ class BaseLdeBackend:
     def mul(self, a, b):
         return gl.mul(a, b)
 
+    def stack(self, handles):
+        return jnp.stack(handles, axis=0)
+
+    def gather(self, h, indices):
+        return h[list(indices)]
+
+    def fold(self, h, weights):
+        """Stacked (K, N, 2) -> (N, 2): sum_k weights[k] * h[k]."""
+        import numpy as _np
+
+        k = h.shape[0]
+        w = gl.from_int(_np.array([int(x) % gl.P for x in weights], dtype=_np.uint64))
+        acc = gl.mul(h, w[:, None, :])
+        kp = 1 << (k - 1).bit_length()
+        if kp != k:
+            acc = jnp.pad(acc, [(0, kp - k), (0, 0), (0, 0)])
+        while kp > 1:
+            kp //= 2
+            acc = gl.add(acc[:kp], acc[kp:2 * kp])
+        return acc[0]
+
+    @staticmethod
+    def is_stacked(h):
+        return hasattr(h, "ndim") and h.ndim == 3
+
+
+def _point_bc(op):
+    def f(a, b):
+        if isinstance(a, list) or isinstance(b, list):
+            if not isinstance(a, list):
+                a = [a] * len(b)
+            if not isinstance(b, list):
+                b = [b] * len(a)
+            return [op(x, y) for x, y in zip(a, b)]
+        return op(a, b)
+
+    return f
+
 
 class ExtPointBackend:
-    """Values are GF(p^2) python-int pairs (evaluation at zeta)."""
+    """Values are GF(p^2) python-int pairs (evaluation at zeta); stacked
+    handles are python lists of pairs."""
 
     def const(self, c: int):
         return (c % gl.P, 0)
 
-    def add(self, a, b):
-        return ext.GFp2.add(a, b)
+    add = staticmethod(_point_bc(ext.GFp2.add))
+    sub = staticmethod(_point_bc(ext.GFp2.sub))
+    mul = staticmethod(_point_bc(ext.GFp2.mul))
 
-    def sub(self, a, b):
-        return ext.GFp2.sub(a, b)
+    def stack(self, handles):
+        return list(handles)
 
-    def mul(self, a, b):
-        return ext.GFp2.mul(a, b)
+    def gather(self, h, indices):
+        return [h[i] for i in indices]
+
+    def fold(self, h, weights):
+        acc = (0, 0)
+        for v, w in zip(h, weights):
+            acc = ext.GFp2.add(acc, ext.GFp2.mul(v, (int(w) % gl.P, 0)))
+        return acc
+
+    @staticmethod
+    def is_stacked(h):
+        return isinstance(h, list)
 
 
 @dataclass
@@ -226,6 +280,21 @@ class AirBuilder:
 
     def pre_local(self, col: int) -> Elem:
         return self.pre(0, col)
+
+    # stacked (vectorized-lane) access ------------------------------------
+    def row_stack(self, offset: int, col_base: int, count: int) -> Elem:
+        """Columns [col_base, col_base+count) at one offset as a stacked
+        handle — whole-word bit operations in one vectorized op."""
+        return Elem(
+            self.b.stack([self._rows[offset][col_base + i] for i in range(count)]),
+            self.b,
+        )
+
+    def gather(self, e: Elem, indices) -> Elem:
+        return Elem(self.b.gather(e.v, list(indices)), self.b)
+
+    def fold(self, e: Elem, weights) -> Elem:
+        return Elem(self.b.fold(e.v, list(weights)), self.b)
 
     def challenge(self, i: int) -> ExtElem:
         c0, c1 = self._challenges[i]

@@ -358,17 +358,44 @@ def _combine_constraints_lde(builder, alpha, sels, n_points):
     acc = None
     alpha_vec = _ext_const_vec(alpha, n_points)
     for con in builder.constraints:
-        c = con.expr  # (N, 2) base
+        c = con.expr  # (N, 2) base, or stacked (K, N, 2)
         if con.scope == FIRST_ROW:
             c = gl.mul(c, jnp.asarray(sel_first))
         elif con.scope == LAST_ROW:
             c = gl.mul(c, jnp.asarray(sel_last))
         elif con.scope == TRANSITION:
             c = gl.mul(c, jnp.asarray(sel_trans))
-        if acc is None:
-            acc = ext.from_base(c)
+        if hasattr(c, "ndim") and c.ndim == 3:
+            # stacked group of K lanes == K consecutive Horner steps:
+            # acc = acc*alpha^K + sum_j alpha^(K-1-j) * c_j
+            K = c.shape[0]
+            w0 = np.empty(K, dtype=np.uint64)
+            w1 = np.empty(K, dtype=np.uint64)
+            cur = (1, 0)
+            for j in range(K - 1, -1, -1):
+                w0[j], w1[j] = cur
+                cur = F2.mul(cur, alpha)
+            w = ext.from_int_pair(w0, w1)  # (K, 2, 2)
+            terms = ext.scalar_mul(
+                jnp.broadcast_to(w[:, None], (K, n_points, 2, 2)), c
+            )
+            kp = 1 << (K - 1).bit_length()
+            if kp != K:
+                terms = jnp.pad(terms, [(0, kp - K), (0, 0), (0, 0), (0, 0)])
+            while kp > 1:
+                kp //= 2
+                terms = ext.add(terms[:kp], terms[kp:2 * kp])
+            group = terms[0]
+            if acc is None:
+                acc = group
+            else:
+                # cur is now alpha^K
+                acc = ext.add(ext.mul(acc, _ext_const_vec(cur, n_points)), group)
         else:
-            acc = ext.add(ext.mul(acc, alpha_vec), ext.from_base(c))
+            if acc is None:
+                acc = ext.from_base(c)
+            else:
+                acc = ext.add(ext.mul(acc, alpha_vec), ext.from_base(c))
     return acc
 
 
@@ -376,14 +403,19 @@ def _combine_constraints_point(builder, alpha, sels_pt):
     _, sel_first, sel_last, sel_trans = sels_pt
     acc = None
     for con in builder.constraints:
-        c = con.expr  # GFp2 pair
+        c = con.expr  # GFp2 pair, or list of pairs (stacked group)
+        entries = c if isinstance(c, list) else [c]
+        sel = None
         if con.scope == FIRST_ROW:
-            c = F2.mul(c, sel_first)
+            sel = sel_first
         elif con.scope == LAST_ROW:
-            c = F2.mul(c, sel_last)
+            sel = sel_last
         elif con.scope == TRANSITION:
-            c = F2.mul(c, sel_trans)
-        acc = c if acc is None else F2.add(F2.mul(acc, alpha), c)
+            sel = sel_trans
+        for cc in entries:
+            if sel is not None:
+                cc = F2.mul(cc, sel)
+            acc = cc if acc is None else F2.add(F2.mul(acc, alpha), cc)
     return acc
 
 

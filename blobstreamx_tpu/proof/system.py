@@ -540,8 +540,10 @@ def verify_system(
     vks: Optional[List[Optional[VerifierKey]]] = None,
     public_messages: Optional[List[Tuple[int, Sequence[int], int]]] = None,
 ) -> bool:
-    """public_messages: (channel, args, sign) tuples the tables are expected
-    to have sent (+1) / received (-1); the bus must balance against them."""
+    """public_messages: (channel, args, sign) tuples contributed by the
+    verifier as a virtual bus participant (sign +1 = the verifier sends the
+    message the tables receive). Balance: sum(table totals) + sum(public
+    terms) == 0."""
     n_tables = len(airs)
     if len(proof.table_proofs) != n_tables or len(proof.bus_totals) != n_tables:
         return False
@@ -744,12 +746,11 @@ def verify_system(
         for t in proof.bus_totals:
             if t is not None:
                 total = F2.add(total, (t[0] % gl.P, t[1] % gl.P))
-        expected = (0, 0)
         for channel, args, sign in public_messages or []:
             term = message_term(channel, args, gamma, delta)
             if sign < 0:
                 term = F2.sub((0, 0), term)
-            expected = F2.add(expected, term)
-        if total != expected:
+            total = F2.add(total, term)
+        if total != (0, 0):
             return False
     return True
