@@ -1,0 +1,71 @@
+"""Benchmark: batched Poseidon permutation throughput (the prover's hot
+kernel — backs every Merkle-cap commitment and FRI layer).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the same kernel measured on this environment's 2-vCPU host CPU
+(see BASELINE.md — the reference publishes no numbers, so baselines are
+measured; CPU rate recorded below from a pinned run of this same script
+with JAX_PLATFORMS=cpu).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# measured on the 2-vCPU host (python bench.py --cpu), see BASELINE.md
+CPU_BASELINE_PERM_PER_S = 93_000.0
+
+BATCH = 1 << 15
+ITERS = 8
+
+
+def main():
+    force_cpu = "--cpu" in sys.argv
+    if force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from blobstreamx_tpu.field import goldilocks as gl
+    from blobstreamx_tpu.ops import poseidon as pos
+
+    rng = np.random.default_rng(0)
+    state = gl.from_int(
+        rng.integers(0, 1 << 63, size=(BATCH, 12), dtype=np.uint64) % gl.P
+    )
+    fn = jax.jit(pos._permute_impl)
+    out = fn(state)
+    out.block_until_ready()  # compile
+    # correctness spot-check vs python reference
+    got = [int(v) for v in gl.to_int(np.asarray(out[0]))]
+    want = pos.permute_ref([int(v) for v in gl.to_int(np.asarray(state[0]))])
+    assert got == want, "poseidon kernel mismatch vs reference"
+
+    t0 = time.time()
+    cur = state
+    for _ in range(ITERS):
+        cur = fn(cur)
+    cur.block_until_ready()
+    dt = time.time() - t0
+    rate = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "poseidon_permutations_per_s",
+                "value": round(rate, 1),
+                "unit": "perm/s",
+                "vs_baseline": round(rate / CPU_BASELINE_PERM_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
