@@ -44,7 +44,14 @@ F_OUT_RECV = 22  # assert rows: pin V_OUT to an existing wire's value
 IO_A = 23  # instance id
 IO_B = 24  # slot / word index / public position
 IO_C = 25  # block index
-PRE_WIDTH = 26
+F_S512_W = 26
+F_S512_OUT_A = 27
+F_S512_OUT_E = 28
+F_ED_POINT = 29
+F_ED_SCALAR = 30
+PRE_WIDTH = 31
+
+N_FLAGS = 10
 
 
 @dataclass
@@ -58,8 +65,14 @@ class Row:
     mult_out: int = 0
     constrain: int = 0
     defines: int = 0  # 1 if this row is the defining site of out_idx
-    flags: tuple = (0, 0, 0, 0, 0)  # pub, sha_w, sha_out_a, sha_out_e, range8
-    io: tuple = (0, 0, 0)  # inst, slot/pos, blk
+    # pub, sha_w, sha_out_a, sha_out_e, range8, s512_w, s512_out_a,
+    # s512_out_e, ed_point, ed_scalar
+    flags: tuple = (0,) * 10
+    io: tuple = (0, 0, 0)  # inst, slot/pos(j), blk(which)
+
+    def __post_init__(self):
+        if len(self.flags) < 10:
+            self.flags = tuple(self.flags) + (0,) * (10 - len(self.flags))
 
 
 class CpuAir(Air):
@@ -85,7 +98,9 @@ class CpuAir(Air):
             pre[i, F_IN1:F_IN4 + 1] = r.in_act
             pre[i, MULT_OUT] = r.mult_out
             pre[i, Q_CON] = r.constrain
-            pre[i, F_PUB:F_RANGE8 + 1] = r.flags
+            flags = tuple(r.flags) + (0,) * (N_FLAGS - len(r.flags))
+            pre[i, F_PUB:F_RANGE8 + 1] = flags[:5]
+            pre[i, F_S512_W:F_ED_SCALAR + 1] = flags[5:10]
             pre[i, F_OUT_RECV] = 1 if (r.constrain and not r.defines) else 0
             pre[i, IO_A:IO_C + 1] = r.io
         return pre
@@ -117,6 +132,12 @@ class CpuAir(Air):
         b.receive(ch.SHA_OUT_A, [inst, pos, out], b.pre_local(F_SHA_OUT_A))
         b.receive(ch.SHA_OUT_E, [inst, pos, out], b.pre_local(F_SHA_OUT_E))
         b.send(ch.RANGE8, [vin[0]], b.pre_local(F_RANGE8))
+        b.send(ch.SHA512_W, [inst, blk, pos, vin[0]], b.pre_local(F_S512_W))
+        b.receive(ch.SHA512_OUT_A, [inst, pos, out], b.pre_local(F_S512_OUT_A))
+        b.receive(ch.SHA512_OUT_E, [inst, pos, out], b.pre_local(F_S512_OUT_E))
+        # Ed25519 chip feeds: io = (inst, idx, which)
+        b.send(ch.ED_POINT, [inst, blk, pos, vin[0]], b.pre_local(F_ED_POINT))
+        b.send(ch.ED_SCALAR, [inst, blk, pos, vin[0]], b.pre_local(F_ED_SCALAR))
 
 
 def build_trace(rows: List[Row], wire_values: np.ndarray, n_rows: int) -> np.ndarray:

@@ -14,3 +14,7 @@ DATA_HASH_INDEX = 6
 # reference circuits/builder.rs:166-169)
 DATA_HASH_PATH = (False, True, True, False)  # index 6
 LAST_BLOCK_ID_PATH = (False, False, True, False)  # index 4
+NEXT_VALIDATORS_HASH_INDEX = 8
+NEXT_VALIDATORS_PATH = (False, False, False, True)  # index 8 (14-leaf tree)
+VALIDATORS_HASH_INDEX = 7
+VALIDATORS_PATH = (True, True, True, False)  # index 7

@@ -26,8 +26,10 @@ from ..chips import bytes as bytes_chip
 from ..chips import channels as ch
 from ..chips import cpu
 from ..chips import sha256 as sha_chip
+from ..chips import sha512 as sha512_chip
 
 TWO32 = 1 << 32
+ED_L = 2**252 + 27742317777372353535851937790883648493  # Ed25519 group order
 
 
 @dataclass(frozen=True)
@@ -88,6 +90,25 @@ class ShaCall:
     digest_word_wires: List[int]
 
 
+@dataclass
+class Sha512Call:
+    inst: int
+    blocks_half_wires: List[List[int]]  # per block: 32 half-word wires
+    message_byte_wires: List[int]
+    digest_half_wires: List[int]  # 16: a-side (lo,hi)x4 then e-side
+
+
+@dataclass
+class EdCall:
+    """One Ed25519 verification instance routed to the EC chip."""
+
+    inst: int
+    pubkey_wires: List[int]  # 32 compressed bytes
+    sig_wires: List[int]     # 64 bytes (R || S)
+    msg_wires: List[int]     # message bytes, padded to max
+    len_wire: int            # actual message length
+
+
 class CircuitBuilder:
     def __init__(self):
         self.rows: List[cpu.Row] = []
@@ -95,6 +116,8 @@ class CircuitBuilder:
         self.read_counts: Dict[int, int] = {}
         self.events: List[tuple] = []
         self.sha_calls: List[ShaCall] = []
+        self.sha512_calls: List[Sha512Call] = []
+        self.ed_calls: List[EdCall] = []
         self.range_checked: List[int] = []
         self.n_public = 0
         self.public_wires: List[int] = []
@@ -457,6 +480,13 @@ class CircuitBuilder:
             pad.append(0)
         pad += (8 * L).to_bytes(8, "big")
         padded = msg_bytes + [self.byte_constant(x) for x in pad]
+        return self.sha256_raw(padded, message_bytes=msg_bytes)
+
+    def sha256_raw(self, padded: Sequence[ByteVariable],
+                   message_bytes=None) -> Bytes32Variable:
+        """Hash pre-padded 64-byte blocks (used by variable-length hashing:
+        padding bytes are circuit-computed selects, not constants)."""
+        assert len(padded) % 64 == 0
         inst = len(self.sha_calls)
         blocks = []
         for off in range(0, len(padded), 64):
@@ -479,7 +509,11 @@ class CircuitBuilder:
         # register the witness-time hash computation BEFORE the digest
         # receive rows so their values are available when those rows run
         digest_wires = []
-        call = ShaCall(inst, blocks, [bv.wire for bv in msg_bytes], digest_wires)
+        call = ShaCall(
+            inst, blocks,
+            [bv.wire for bv in message_bytes] if message_bytes is not None else None,
+            digest_wires,
+        )
         self.sha_calls.append(call)
         self.events.append(("sha", call))
         for flag_pos in (2, 3):  # SHA_OUT_A then SHA_OUT_E
@@ -497,6 +531,248 @@ class CircuitBuilder:
         for w in digest_wires:
             out_bytes.extend(self.unpack_word_to_bytes(Variable(w)))
         return Bytes32Variable(tuple(out_bytes))
+
+    # -- SHA-512 -----------------------------------------------------------
+    def sha512(self, message: Sequence[ByteVariable]) -> List[ByteVariable]:
+        """Hash fixed-length byte variables via the SHA-512 chip (bus I/O).
+
+        Returns the 64 digest bytes. Backs the Ed25519 challenge hash
+        k = SHA512(R||A||M) (reference starkyx Ed25519, SURVEY.md D11).
+        """
+        msg_bytes = list(message)
+        L = len(msg_bytes)
+        pad = bytearray(b"\x80")
+        while (L + len(pad)) % 128 != 112:
+            pad.append(0)
+        pad += (8 * L).to_bytes(16, "big")
+        padded = msg_bytes + [self.byte_constant(x) for x in pad]
+        return self.sha512_raw(padded, message_bytes=msg_bytes)
+
+    def sha512_raw(self, padded: Sequence[ByteVariable],
+                   message_bytes=None) -> List[ByteVariable]:
+        """Hash pre-padded 128-byte blocks (variable-length support)."""
+        assert len(padded) % 128 == 0
+        inst = len(self.sha512_calls)
+        blocks = []
+        for off in range(0, len(padded), 128):
+            blk = padded[off:off + 128]
+            half_wires = []
+            for wo in range(0, 128, 8):
+                hi = self.pack4(blk[wo], blk[wo + 1], blk[wo + 2], blk[wo + 3])
+                lo = self.pack4(blk[wo + 4], blk[wo + 5], blk[wo + 6], blk[wo + 7])
+                half_wires.extend([lo.wire, hi.wire])
+            blocks.append(half_wires)
+        for blk_i, half_wires in enumerate(blocks):
+            for halfslot, w in enumerate(half_wires):
+                self._row(
+                    cpu.Row(
+                        in_idx=(self._read(w), 0, 0, 0),
+                        in_act=(1, 0, 0, 0),
+                        flags=(0, 0, 0, 0, 0, 1, 0, 0),
+                        io=(inst, halfslot, blk_i),
+                    )
+                )
+        digest_wires = []
+        call = Sha512Call(
+            inst, blocks,
+            [bv.wire for bv in message_bytes] if message_bytes is not None else None,
+            digest_wires,
+        )
+        self.sha512_calls.append(call)
+        self.events.append(("sha512", call))
+        for flag_pos in (5, 6):  # S512_OUT_A then S512_OUT_E (receive flags 6, 7)
+            for halfj in range(8):
+                w = self._new_wire()
+                flags = [0] * 8
+                flags[flag_pos + 1] = 1
+                self._row(
+                    cpu.Row(
+                        out_idx=w, defines=1, flags=tuple(flags), io=(inst, halfj, 0)
+                    )
+                )
+                digest_wires.append(w)
+        out_bytes = []
+        for j in range(8):
+            # word j: big-endian bytes = hi32 then lo32
+            base = 2 * (j % 4) + (0 if j < 4 else 8)
+            lo_w, hi_w = digest_wires[base], digest_wires[base + 1]
+            out_bytes.extend(self.unpack_word_to_bytes(Variable(hi_w)))
+            out_bytes.extend(self.unpack_word_to_bytes(Variable(lo_w)))
+        return out_bytes
+
+    # -- variable-length hashing ------------------------------------------
+    def _pad_variable(self, message, length, min_len, block: int):
+        """FIPS padding with circuit-computed position (len in [min_len, max]).
+
+        Returns the padded byte list covering ceil((max_len+17)/block) blocks
+        for SHA-256 (block=64, 8-byte length) or 2 blocks for SHA-512
+        (block=128, 16-byte length).
+        """
+        max_len = len(message)
+        len_field = 8 if block == 64 else 16
+        n_blocks = (max_len + 1 + len_field + block - 1) // block
+        total = n_blocks * block
+        assert min_len + 1 + len_field <= total
+        zero = self.byte_constant(0)
+        # done_i = (length <= i); eq_i = (length == i)
+        done = self._false()
+        eq = {}
+        for i in range(min_len, max_len + 1):
+            eq[i] = self.is_equal(Variable(length.wire), self.constant(i))
+            done = self.or_(done, eq[i])
+            eq[i] = (eq[i], done)
+        padded = []
+        for i in range(total - len_field):
+            if i < min_len:
+                padded.append(message[i])
+            elif i <= max_len:
+                eq_i, done_i = eq[i]
+                m_i = message[i] if i < max_len else zero
+                # (1-done)*m + eq*0x80
+                keep = self.mul(
+                    self.sub(self.one(), Variable(done_i.wire)), Variable(m_i.wire)
+                )
+                v = self._arith(terms=[(1, keep.wire), (0x80, eq_i.wire)])
+                padded.append(ByteVariable(v.wire))
+            else:
+                padded.append(zero)
+        # length field: 8*length fits 16 bits for both block sizes here
+        bitlen = self._arith(terms=[(8, length.wire)])
+
+        def split2(vals):
+            return [vals[0] >> 8, vals[0] & 0xFF]
+
+        hi_w, lo_w = self.hint([bitlen], 2, split2)
+        self.add_byte_check(hi_w)
+        self.add_byte_check(lo_w)
+        self._assert_expr_zero(
+            terms=[(256, hi_w), (1, lo_w), (gl.P - 1, bitlen.wire)]
+        )
+        padded += [zero] * (len_field - 2)
+        padded += [ByteVariable(hi_w), ByteVariable(lo_w)]
+        return padded
+
+    def sha256_var(self, message, length: U32Variable,
+                   min_len: int = 0) -> Bytes32Variable:
+        """SHA-256 of message[:length] (single-block: max_len <= 55)."""
+        assert len(message) <= 55
+        return self.sha256_raw(
+            self._pad_variable(list(message), length, min_len, 64)
+        )
+
+    def sha512_var(self, message, length: U32Variable,
+                   min_len: int) -> List[ByteVariable]:
+        """SHA-512 of message[:length]; requires 112 <= min_len <= length
+        so the block count (2) is static."""
+        assert 112 <= min_len and len(message) <= 239
+        return self.sha512_raw(
+            self._pad_variable(list(message), length, min_len, 128)
+        )
+
+    # -- Ed25519 -----------------------------------------------------------
+    def _pack2(self, lo: ByteVariable, hi: ByteVariable) -> Variable:
+        return self._arith(terms=[(1, lo.wire), (256, hi.wire)])
+
+    def _ed_send_point(self, inst: int, which: int, data):
+        """Send a compressed point (32 ByteVariables) as 16 LE limbs + sign."""
+        b31 = data[31]
+
+        def sign_hint(vals):
+            return [vals[0] >> 7]
+
+        (sgn_w,) = self.hint([Variable(b31.wire)], 1, sign_hint)
+        self.assert_bool(BoolVariable(sgn_w))
+        low7 = self._arith(terms=[(1, b31.wire), (gl.P - 128, sgn_w)])
+        self.add_byte_check(low7.wire)
+        dbl = self._arith(terms=[(2, low7.wire)])
+        self.add_byte_check(dbl.wire)  # 2*low7 < 256 => low7 < 128
+        for j in range(16):
+            if j < 15:
+                limb = self._pack2(data[2 * j], data[2 * j + 1])
+            else:
+                limb = self._arith(terms=[(1, data[30].wire), (256, low7.wire)])
+            self._row(
+                cpu.Row(
+                    in_idx=(self._read(limb.wire), 0, 0, 0),
+                    in_act=(1, 0, 0, 0),
+                    flags=(0, 0, 0, 0, 0, 0, 0, 0, 1, 0),
+                    io=(inst, j, which),
+                )
+            )
+        self._row(
+            cpu.Row(
+                in_idx=(self._read(sgn_w), 0, 0, 0),
+                in_act=(1, 0, 0, 0),
+                flags=(0, 0, 0, 0, 0, 0, 0, 0, 1, 0),
+                io=(inst, 16, which),
+            )
+        )
+
+    def _ed_send_scalar_limbs(self, inst: int, which: int, byte_vars):
+        for g in range(len(byte_vars) // 2):
+            limb = self._pack2(byte_vars[2 * g], byte_vars[2 * g + 1])
+            self._row(
+                cpu.Row(
+                    in_idx=(self._read(limb.wire), 0, 0, 0),
+                    in_act=(1, 0, 0, 0),
+                    flags=(0, 0, 0, 0, 0, 0, 0, 0, 0, 1),
+                    io=(inst, g, which),
+                )
+            )
+
+    def assert_bytes_lt_le(self, a_bytes, bound: int):
+        """Assert the little-endian byte string a < bound (e.g. S < L)."""
+        n = len(a_bytes)
+        lt = self._false()
+        for g in range(n // 4):
+            w = self._arith(terms=[
+                (1, a_bytes[4 * g].wire), (1 << 8, a_bytes[4 * g + 1].wire),
+                (1 << 16, a_bytes[4 * g + 2].wire), (1 << 24, a_bytes[4 * g + 3].wire),
+            ])
+            bw = self.u32_constant((bound >> (32 * g)) & 0xFFFFFFFF)
+            word = U32Variable(w.wire)
+            eq = self.is_equal(Variable(w.wire), Variable(bw.wire))
+            lt_g = self.u32_lt(word, bw)
+            # scan from LSW to MSW: lt = eq ? lt : lt_g
+            lt = BoolVariable(
+                self.select(eq, Variable(lt.wire), Variable(lt_g.wire)).wire
+            )
+        self.assert_is_equal(Variable(lt.wire), self.one())
+
+    def ed25519_verify(self, pubkey, signature, message, msg_len: U32Variable,
+                       min_msg_len: int):
+        """Verify an Ed25519 signature in-circuit.
+
+        pubkey: 32 ByteVariables; signature: 64 (R || S); message: byte
+        variables padded to the max length with msg_len the true length.
+        Links the SHA-512 chip (challenge hash) and the Ed25519 EC chip
+        (curve equation) over the bus. Reference: starkyx Ed25519 gadget
+        used by tendermintx vote verification (SURVEY.md D11/D13).
+        """
+        inst = len(self.ed_calls)
+        r_bytes = list(signature[:32])
+        s_bytes = list(signature[32:])
+        # k512 = SHA512(R || A || M)
+        total_len = self._arith(q0=64, terms=[(1, msg_len.lo.wire)])
+        digest = self.sha512_var(
+            r_bytes + list(pubkey) + list(message),
+            U32Variable(total_len.wire),
+            64 + min_msg_len,
+        )
+        self._ed_send_point(inst, 0, list(pubkey))  # WHICH_A
+        self._ed_send_point(inst, 1, r_bytes)       # WHICH_R
+        self.assert_bytes_lt_le(s_bytes, ED_L)
+        self._ed_send_scalar_limbs(inst, 2, s_bytes)  # WHICH_S
+        self._ed_send_scalar_limbs(inst, 3, digest)   # WHICH_K (k512, LE)
+        self.ed_calls.append(
+            EdCall(
+                inst,
+                [b.wire for b in pubkey],
+                [b.wire for b in signature],
+                [b.wire for b in message],
+                msg_len.lo.wire,
+            )
+        )
 
     # -- public I/O --------------------------------------------------------
     def _public_byte(self, wire: int):
@@ -552,9 +828,32 @@ class CompiledCircuit:
             [len(c.blocks_word_wires) for c in builder.sha_calls],
             self.n_sha_rows,
         )
+        n_blocks512 = sum(len(c.blocks_half_wires) for c in builder.sha512_calls)
+        seg512 = max(1, n_blocks512) * sha512_chip.SEGMENT
+        self.n_sha512_rows = 1 << max(7, (seg512 - 1).bit_length())
+        self.sha512_schedule = sha512_chip.schedule_for(
+            [len(c.blocks_half_wires) for c in builder.sha512_calls],
+            self.n_sha512_rows,
+        )
         self.cpu_air = cpu.CpuAir(builder.rows, self.n_cpu_rows)
         self.sha_air = sha_chip.Sha256Air(self.sha_schedule, self.n_sha_rows)
+        self.sha512_air = sha512_chip.Sha512Air(
+            self.sha512_schedule, self.n_sha512_rows
+        )
         self.bytes_air = bytes_chip.BytesAir()
+        self.ed_air = None
+        if builder.ed_calls:
+            from ..chips import ed25519 as ed_chip
+            from ..chips import range16 as range16_chip
+
+            na, nb = getattr(builder, "ed_nbits", (512, 256))
+            seg = 4 + 2 * na + nb
+            n_ed = 1 << max(6, (len(builder.ed_calls) * seg - 1).bit_length())
+            self.ed_air = ed_chip.Ed25519Air(
+                [ed_chip.SigInfo(c.inst) for c in builder.ed_calls],
+                n_ed, nbits_a=na, nbits_b=nb,
+            )
+            self.range16_air = range16_chip.Range16Air()
 
     def generate_witness(self, public_inputs: Dict[int, int] = None) -> np.ndarray:
         """Run the straight-line program. public_inputs: {position: byte}."""
@@ -564,6 +863,7 @@ class CompiledCircuit:
             vals[b.public_wires[pos]] = byte
 
         sha_digests: Dict[int, List[int]] = {}
+        sha512_digests: Dict[int, List[int]] = {}
         for ev in b.events:
             if ev[0] == "row":
                 row = b.rows[ev[1]]
@@ -585,6 +885,10 @@ class CompiledCircuit:
                     vals[row.out_idx] = sha_digests[row.io[0]][row.io[1]]
                 elif row.flags[3]:
                     vals[row.out_idx] = sha_digests[row.io[0]][4 + row.io[1]]
+                elif row.flags[6]:
+                    vals[row.out_idx] = sha512_digests[row.io[0]][row.io[1]]
+                elif row.flags[7]:
+                    vals[row.out_idx] = sha512_digests[row.io[0]][8 + row.io[1]]
             elif ev[0] == "hint":
                 _, fn, ins, outs = ev
                 results = fn([int(vals[w]) for w in ins])
@@ -592,11 +896,56 @@ class CompiledCircuit:
                     vals[w] = int(r) % gl.P
             elif ev[0] == "sha":
                 call: ShaCall = ev[1]
-                msg = bytes(int(vals[w]) & 0xFF for w in call.message_byte_wires)
-                digest = hashlib.sha256(msg).digest()
-                sha_digests[call.inst] = [
-                    int.from_bytes(digest[4 * i:4 * i + 4], "big") for i in range(8)
-                ]
+                if call.message_byte_wires is not None:
+                    msg = bytes(int(vals[w]) & 0xFF for w in call.message_byte_wires)
+                    digest = hashlib.sha256(msg).digest()
+                    words = [
+                        int.from_bytes(digest[4 * i:4 * i + 4], "big")
+                        for i in range(8)
+                    ]
+                else:  # raw blocks: compress the (circuit-computed) padding
+                    from ..ops import sha256 as _sha
+
+                    state = _sha.H0[None].copy()
+                    for word_wires in call.blocks_word_wires:
+                        blk = np.array(
+                            [[int(vals[w]) for w in word_wires]], dtype=np.uint32
+                        )
+                        state = _sha.compress_blocks(blk, state)
+                    words = [int(v) for v in state[0]]
+                sha_digests[call.inst] = words
+            elif ev[0] == "sha512":
+                call512: Sha512Call = ev[1]
+                if call512.message_byte_wires is not None:
+                    msg = bytes(
+                        int(vals[w]) & 0xFF for w in call512.message_byte_wires
+                    )
+                    digest = hashlib.sha512(msg).digest()
+                else:
+                    from ..ops import sha512 as _sha5
+
+                    state = _sha5.H0[None].copy()
+                    for half_wires in call512.blocks_half_wires:
+                        blk = np.array(
+                            [[
+                                int(vals[half_wires[2 * wi]])
+                                | (int(vals[half_wires[2 * wi + 1]]) << 32)
+                                for wi in range(16)
+                            ]],
+                            dtype=np.uint64,
+                        )
+                        state = _sha5.compress_blocks(blk, state)
+                    digest = b"".join(
+                        int(v).to_bytes(8, "big") for v in state[0]
+                    )
+                halves = []
+                for j in range(8):
+                    word = int.from_bytes(digest[8 * j:8 * j + 8], "big")
+                    halves.append((word & 0xFFFFFFFF, word >> 32))
+                # layout: a-side words 0..3 (lo,hi), then e-side words 4..7
+                sha512_digests[call512.inst] = [
+                    h for pair in halves[:4] for h in pair
+                ] + [h for pair in halves[4:] for h in pair]
         for label, var in b._watches:
             try:
                 print(f"[watch] {label}: {self._render(var, vals)}")
@@ -625,11 +974,43 @@ class CompiledCircuit:
                     blocks[bi, si] = int(vals[w])
             messages.append(blocks)
         sha_trace = sha_chip.build_trace(messages, self.n_sha_rows, self.sha_schedule)
+        messages512 = []
+        for call in b.sha512_calls:
+            blocks = np.zeros((len(call.blocks_half_wires), 16), dtype=np.uint64)
+            for bi, half_wires in enumerate(call.blocks_half_wires):
+                for wi in range(16):
+                    lo = int(vals[half_wires[2 * wi]])
+                    hi = int(vals[half_wires[2 * wi + 1]])
+                    blocks[bi, wi] = lo | (hi << 32)
+            messages512.append(blocks)
+        sha512_trace = sha512_chip.build_trace(
+            messages512, self.n_sha512_rows, self.sha512_schedule
+        )
         counts = np.zeros(256, dtype=np.uint64)
         for w in b.range_checked:
             counts[int(vals[w]) & 0xFF] += 1
-        bytes_trace = bytes_chip.build_trace(counts)
-        return cpu_trace, sha_trace, bytes_trace
+        out = {
+            "cpu": cpu_trace, "sha": sha_trace, "sha512": sha512_trace,
+        }
+        if self.ed_air is not None:
+            from ..chips import ed25519 as ed_chip
+            from ..chips import range16 as range16_chip
+
+            sigs = []
+            for call in b.ed_calls:
+                mlen = int(vals[call.len_wire])
+                sigs.append(ed_chip.SigWitness(
+                    pubkey=bytes(int(vals[w]) & 0xFF for w in call.pubkey_wires),
+                    msg=bytes(int(vals[w]) & 0xFF for w in call.msg_wires[:mlen]),
+                    signature=bytes(int(vals[w]) & 0xFF for w in call.sig_wires),
+                ))
+            ed_trace = ed_chip.build_trace(self.ed_air, sigs)
+            r16, r8 = ed_chip.range_counts(self.ed_air, ed_trace)
+            counts += r8
+            out["ed"] = ed_trace
+            out["range16"] = range16_chip.build_trace(r16)
+        out["bytes"] = bytes_chip.build_trace(counts)
+        return out
 
     def public_values(self, vals: np.ndarray) -> List[int]:
         return [int(vals[w]) for w in self.b.public_wires]
@@ -645,16 +1026,30 @@ class CompiledCircuit:
     def prove(self, public_inputs: Dict[int, int], cfg=None, pks=None):
         from ..proof import stark, system
 
+    def airs(self) -> List:
+        """The proof system's tables, in order."""
+        airs = [self.cpu_air, self.sha_air, self.sha512_air]
+        if self.ed_air is not None:
+            airs += [self.ed_air, self.range16_air]
+        return airs + [self.bytes_air]
+
+    def _table_names(self) -> List[str]:
+        names = ["cpu", "sha", "sha512"]
+        if self.ed_air is not None:
+            names += ["ed", "range16"]
+        return names + ["bytes"]
+
+    def prove(self, public_inputs: Dict[int, int], cfg=None, pks=None):
+        from ..proof import stark, system
+
         cfg = cfg or stark.StarkConfig()
         vals = self.generate_witness(public_inputs)
-        cpu_trace, sha_trace, bytes_trace = self.traces(vals)
+        traces = self.traces(vals)
+        names = self._table_names()
         specs = [
-            system.TableSpec("cpu", self.cpu_air, cpu_trace, [],
-                             pks[0] if pks else None),
-            system.TableSpec("sha", self.sha_air, sha_trace, [],
-                             pks[1] if pks else None),
-            system.TableSpec("bytes", self.bytes_air, bytes_trace, [],
-                             pks[2] if pks else None),
+            system.TableSpec(name, air, traces[name], [],
+                             pks[i] if pks else None)
+            for i, (name, air) in enumerate(zip(names, self.airs()))
         ]
         proof = system.prove_system(specs, cfg)
         return proof, self.public_values(vals)
@@ -663,9 +1058,10 @@ class CompiledCircuit:
         from ..proof import stark, system
 
         cfg = cfg or stark.StarkConfig()
+        airs = self.airs()
         return system.verify_system(
-            [self.cpu_air, self.sha_air, self.bytes_air],
-            [[], [], []],
+            airs,
+            [[] for _ in airs],
             proof,
             cfg,
             vks=vks,
@@ -676,7 +1072,18 @@ class CompiledCircuit:
         from ..proof import stark
 
         cfg = cfg or stark.StarkConfig()
-        pk_cpu, vk_cpu = stark.build(self.cpu_air, self.n_cpu_rows, cfg)
-        pk_sha, vk_sha = stark.build(self.sha_air, self.n_sha_rows, cfg)
-        pk_b, vk_b = stark.build(self.bytes_air, bytes_chip.N_ROWS, cfg)
-        return [pk_cpu, pk_sha, pk_b], [vk_cpu, vk_sha, vk_b]
+        sizes = {
+            "cpu": self.n_cpu_rows, "sha": self.n_sha_rows,
+            "sha512": self.n_sha512_rows, "bytes": bytes_chip.N_ROWS,
+        }
+        if self.ed_air is not None:
+            from ..chips import range16 as range16_chip
+
+            sizes["ed"] = self.ed_air.n_rows
+            sizes["range16"] = range16_chip.N_ROWS
+        pks, vks = [], []
+        for name, air in zip(self._table_names(), self.airs()):
+            pk, vk = stark.build(air, sizes[name], cfg)
+            pks.append(pk)
+            vks.append(vk)
+        return pks, vks

@@ -133,7 +133,9 @@ class BaseLdeBackend:
         return jnp.stack(handles, axis=0)
 
     def gather(self, h, indices):
-        return h[list(indices)]
+        import numpy as _np
+
+        return h[_np.asarray(list(indices), dtype=_np.int32)]
 
     def fold(self, h, weights):
         """Stacked (K, N, 2) -> (N, 2): sum_k weights[k] * h[k]."""

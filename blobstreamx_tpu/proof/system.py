@@ -245,6 +245,30 @@ def _build_logup_aux(
     return aux, total
 
 
+def check_bus_balance(specs: List[TableSpec],
+                      public_messages=None,
+                      challenges=None) -> bool:
+    """Fast witness-level check: with random bus challenges, the LogUp
+    totals of all tables plus the public-message terms must sum to zero.
+    Catches chip wiring mismatches in seconds without proving."""
+    challenges = challenges or [(12345, 67890), (54321, 9876)]
+    total = (0, 0)
+    for spec in specs:
+        air = spec.air
+        if not introspect_interactions(air):
+            continue
+        pre_trace = air.preprocessed_columns(spec.trace.shape[0]) if air.pre_width else None
+        _, t = _build_logup_aux(air, spec.trace, pre_trace, challenges, spec.publics)
+        total = F2.add(total, t)
+    gamma, delta = challenges
+    for channel, args, sign in public_messages or []:
+        term = message_term(channel, args, gamma, delta)
+        if sign < 0:
+            term = F2.sub((0, 0), term)
+        total = F2.add(total, term)
+    return total == (0, 0)
+
+
 # ---------------------------------------------------------------------------
 # system prover
 # ---------------------------------------------------------------------------
