@@ -1,0 +1,105 @@
+"""Operator loop + contract model end-to-end over fixtures (R11/R14/D18).
+
+The prover service runs in mock (witness-only) mode — the operator loop
+never proves in-process, mirroring the reference (SURVEY.md 3.1); full
+proving is covered by the circuit tests.
+"""
+
+import pytest
+
+from blobstreamx_tpu.circuits.header_range import HeaderRangeCircuit
+from blobstreamx_tpu.circuits.next_header import NextHeaderCircuit
+from blobstreamx_tpu.runtime import contract as ct
+from blobstreamx_tpu.runtime.operator import (
+    BlobstreamXOperator, FixtureChainFetcher, OperatorConfig,
+)
+from blobstreamx_tpu.runtime.service import LocalProverService, RegisteredFunction
+
+FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+HR_FID = bytes.fromhex("aa" * 32)
+NH_FID = bytes.fromhex("bb" * 32)
+
+
+@pytest.fixture(scope="module")
+def world():
+    fetcher = FixtureChainFetcher(FIXTURES, head=10005)
+    genesis = fetcher.get_header(10000).hash()
+    c = ct.BlobstreamXContract(genesis_height=10000, genesis_header=genesis)
+    service = LocalProverService(mock=True)
+    hr = HeaderRangeCircuit(vss=2, nb_map_jobs=1, batch_size=4)
+    nh = NextHeaderCircuit(vss=2)
+    service.register(HR_FID, RegisteredFunction(
+        "header_range", hr, lambda pubs: bytes(pubs[48:112])
+    ))
+    service.register(NH_FID, RegisteredFunction(
+        "next_header", nh, lambda pubs: bytes(pubs[40:104])
+    ))
+    op = BlobstreamXOperator(c, fetcher, service, HR_FID, NH_FID,
+                             OperatorConfig(data_commitment_max=4))
+    return c, fetcher, service, op
+
+
+def test_operator_skips_to_head(world):
+    c, fetcher, service, op = world
+    rid = op.process_iteration()
+    assert rid is not None
+    assert service.get_request(rid).status == "success"
+    # head=10005 -> max 10004; binary search finds 10004 (same val set)
+    assert c.latest_block == 10004
+    assert c.block_height_to_header_hash[10004] == fetcher.get_header(10004).hash()
+    assert c.state_data_commitments[1] == fetcher.get_data_commitment(10000, 10004)
+    assert ("HeadUpdate", 10004, fetcher.get_header(10004).hash()) in c.events
+
+
+def test_operator_idempotent_at_head(world):
+    c, _, _, op = world
+    latest = c.latest_block
+    assert op.process_iteration() is None  # up to date
+    assert c.latest_block == latest
+
+
+def test_contract_rejects_stale_trusted_block(world):
+    c, fetcher, _, _ = world
+    with pytest.raises(ct.ContractError):
+        c.commit_header_range(10000, 10002, b"\x00" * 32, b"\x00" * 32)
+
+
+def test_verify_attestation_roundtrip(world):
+    c, fetcher, _, _ = world
+    # tuples covering the committed range [10000, 10004)
+    tuples = [
+        ct.DataRootTuple(h, fetcher.get_header(h).data_hash)
+        for h in range(10000, 10004)
+    ]
+    for idx in range(4):
+        proof = ct.data_root_inclusion_proof(tuples, idx)
+        assert c.verify_attestation(1, tuples[idx], proof)
+    # wrong nonce / tampered tuple rejected
+    proof = ct.data_root_inclusion_proof(tuples, 0)
+    assert not c.verify_attestation(99, tuples[0], proof)
+    bad = ct.DataRootTuple(tuples[0].height + 1, tuples[0].data_root)
+    assert not c.verify_attestation(1, bad, proof)
+
+
+def test_next_header_step_path():
+    fetcher = FixtureChainFetcher(FIXTURES, head=10002)
+    genesis = fetcher.get_header(10000).hash()
+    c = ct.BlobstreamXContract(genesis_height=10000, genesis_header=genesis)
+    service = LocalProverService(mock=True)
+    nh = NextHeaderCircuit(vss=2)
+    service.register(NH_FID, RegisteredFunction(
+        "next_header", nh, lambda pubs: bytes(pubs[40:104])
+    ))
+
+    class StepOnlyFetcher(FixtureChainFetcher):
+        def find_block_to_request(self, trusted_block, max_end):
+            return trusted_block + 1
+
+    f2 = StepOnlyFetcher(FIXTURES, head=10002)
+    op = BlobstreamXOperator(c, f2, service, HR_FID, NH_FID,
+                             OperatorConfig(data_commitment_max=4))
+    rid = op.process_iteration()
+    assert service.get_request(rid).status == "success"
+    assert c.latest_block == 10001
+    assert c.block_height_to_header_hash[10001] == fetcher.get_header(10001).hash()
+    assert c.state_data_commitments[1] == fetcher.get_data_commitment(10000, 10001)
