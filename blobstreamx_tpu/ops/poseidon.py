@@ -116,7 +116,7 @@ def _to_limbs(state):
     """(..., 12, 2) u32 pairs -> (..., 12, 10) int8 7-bit limbs."""
     lo = state[..., 0]
     hi = state[..., 1]
-    mask = jnp.uint32(0x7F)
+    mask = np.uint32(0x7F)  # numpy scalar: pallas-safe literal
     limbs = []
     for m in range(_N_LIMBS):
         s = _LIMB_BITS * m
@@ -191,7 +191,53 @@ def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
     return s
 
 
+def _permute_scan(state: jnp.ndarray) -> jnp.ndarray:
+    """lax.scan-based permutation: ~30x smaller traced graph than the
+    unrolled body. Used where compile time dominates (multi-hash pipelines
+    like the sharded mesh commit, tiny-shape dryruns); the unrolled/pallas
+    paths stay the runtime hot path."""
+    rc, _ = _device_constants()
+    rc = jnp.asarray(rc)  # (30, 12, 2)
+    half = FULL_ROUNDS // 2
+
+    def full_round(s, r):
+        s = gl.add(s, rc[r])
+        s = _sbox(s)
+        return _mds_layer(s), None
+
+    def partial_round(s, r):
+        s = gl.add(s, rc[r])
+        lane0 = _sbox(s[..., 0:1, :])
+        s = jnp.concatenate([lane0, s[..., 1:, :]], axis=-2)
+        return _mds_layer(s), None
+
+    s, _ = jax.lax.scan(full_round, state, jnp.arange(half))
+    s, _ = jax.lax.scan(partial_round, s,
+                        jnp.arange(half, half + PARTIAL_ROUNDS))
+    s, _ = jax.lax.scan(full_round, s,
+                        jnp.arange(half + PARTIAL_ROUNDS, N_ROUNDS))
+    return s
+
+
+# Graph-shape policy: XLA-CPU's compile time is superlinear in graph size
+# on this class of host (measured: ~50 ops -> 0.2 s, ~4k ops -> >9 min), so
+# traced permutations on CPU use the lax.scan body (30x smaller graph);
+# TPU (fast remote compiler) keeps the unrolled body / pallas kernel.
+# Override with UNROLL = True/False.
+UNROLL = None  # None = decide from backend at call time
+
+
+def _unroll() -> bool:
+    if UNROLL is not None:
+        return UNROLL
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return True
+
+
 _permute_jit = jax.jit(_permute_impl)
+_permute_scan_jit = jax.jit(_permute_scan)
 
 # Batch size at/above which the jitted permutation is used. Small batches run
 # eagerly: XLA-CPU compiles this graph slowly, and eager per-op dispatch is
@@ -207,16 +253,36 @@ def _batch_size(shape) -> int:
     return n
 
 
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def permute(state: jnp.ndarray) -> jnp.ndarray:
     """Poseidon permutation, batched. state: (..., 12, 2) uint32 limbs.
 
-    Rounds are unrolled (XLA loop primitives compile pathologically slowly
-    for this body); the einsum-based MDS keeps the graph compact and feeds
-    the MXU on TPU. Dispatches eagerly for small batches, jitted for large.
+    Large batches on TPU run the fused Pallas kernel (all 30 rounds
+    VMEM-resident — ops/pallas/poseidon.py); elsewhere the einsum-based
+    XLA path (rounds unrolled: XLA loop primitives compile pathologically
+    slowly for this body). Small batches dispatch eagerly.
     """
+    import jax.core as _core
+
+    if isinstance(state, _core.Tracer):
+        # inside an outer trace (mesh pipelines, circuit proving graphs):
+        # choose the graph shape by backend (see _unroll)
+        return _permute_impl(state) if _unroll() else _permute_scan(state)
     if _batch_size(state.shape[:-2]) >= JIT_THRESHOLD:
-        return _permute_jit(state)
-    return _permute_impl(state)
+        if _on_tpu():
+            from .pallas import poseidon as ppos
+
+            return ppos.permute(state)
+        return _permute_jit(state) if _unroll() else _permute_scan_jit(state)
+    return _permute_impl(state)  # eager small-batch: per-op dispatch, no jit
 
 
 def hash_two_to_one(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
@@ -249,10 +315,49 @@ def hash_no_pad(inputs: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Host-side permutation: native C++ kernel when available (transcript/grind/
+# verifier hot path — see blobstreamx_tpu/native), python-int fallback.
+# ---------------------------------------------------------------------------
+
+_native = None
+
+
+def _get_native():
+    """Lazy import (native/build.py imports this module for constants)."""
+    global _native
+    if _native is None:
+        from .. import native as _n
+        _native = _n if _n.available() else False
+    return _native
+
+
+def permute_ref(state: list) -> list:
+    """Host permutation on a list of 12 ints (native C++ if built)."""
+    n = _get_native()
+    if n:
+        return n.permute(state)
+    return permute_py(state)
+
+
+def hash_no_pad_ref(inputs: list) -> list:
+    n = _get_native()
+    if n:
+        return n.hash_no_pad(inputs)
+    return hash_no_pad_py(inputs)
+
+
+def hash_two_to_one_ref(left: list, right: list) -> list:
+    n = _get_native()
+    if n:
+        return n.hash_two_to_one(left, right)
+    return hash_two_to_one_py(left, right)
+
+
+# ---------------------------------------------------------------------------
 # Pure-python reference
 # ---------------------------------------------------------------------------
 
-def permute_ref(state: list) -> list:
+def permute_py(state: list) -> list:
     """Python-int reference permutation on a list of 12 ints."""
     rc = round_constants()
     mds = mds_matrix()
@@ -285,15 +390,15 @@ def permute_ref(state: list) -> list:
     return s
 
 
-def hash_no_pad_ref(inputs: list) -> list:
+def hash_no_pad_py(inputs: list) -> list:
     state = [0] * WIDTH
     for off in range(0, len(inputs), RATE):
         chunk = inputs[off:off + RATE]
         state = list(chunk) + state[len(chunk):]
-        state = permute_ref(state)
+        state = permute_py(state)
     return state[:DIGEST]
 
 
-def hash_two_to_one_ref(left: list, right: list) -> list:
+def hash_two_to_one_py(left: list, right: list) -> list:
     state = list(left) + list(right) + [0] * CAPACITY
-    return permute_ref(state)[:DIGEST]
+    return permute_py(state)[:DIGEST]

@@ -112,6 +112,15 @@ def _coset_intt_ext(values: jnp.ndarray, shift: int) -> List[Tuple[int, int]]:
 
 
 def grind(transcript: Transcript, pow_bits: int) -> int:
+    """Proof-of-work: first nonce whose challenge has pow_bits leading
+    zeros. The whole search loop runs in the native kernel when built
+    (blobstreamx_tpu/native — 2^pow_bits expected permutations)."""
+    from ..ops import poseidon as pos
+
+    native = pos._get_native()
+    if native:
+        return native.grind(transcript.state, transcript.input_buffer,
+                            pow_bits)
     nonce = 0
     while True:
         t = transcript.fork()
