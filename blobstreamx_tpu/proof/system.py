@@ -277,6 +277,10 @@ def prove_system(
     specs: List[TableSpec],
     cfg: StarkConfig = StarkConfig(),
 ) -> SystemProof:
+    from ..utils import timing
+
+    _ph = timing.phases("prove_system")
+    _ph.mark("preamble")
     transcript = Transcript()
     states = []
     any_bus = False
@@ -304,6 +308,7 @@ def prove_system(
         )
 
     # 2. main commits
+    _ph.mark("main_commits")
     for st in states:
         cols = jnp.moveaxis(gl.from_int(st["spec"].trace), 0, 1)
         st["main_coeffs"], st["main_rows_np"], st["main_tree"] = _commit_matrix(
@@ -317,6 +322,7 @@ def prove_system(
         challenges = [transcript.get_extension_challenge() for _ in range(2)]
 
     # 4. aux commits (LogUp or legacy build_aux)
+    _ph.mark("aux_commits")
     for st in states:
         air = st["air"]
         if st["n_inter"]:
@@ -353,6 +359,7 @@ def prove_system(
                 transcript.observe_element(st["bus_total"][1])
 
     # 5. quotients
+    _ph.mark("quotients")
     alpha = transcript.get_extension_challenge()
     for st in states:
         air, n, N, log_n = st["air"], st["n"], st["N"], st["log_n"]
@@ -402,6 +409,7 @@ def prove_system(
         transcript.observe_cap(st["q_tree"].cap_ints())
 
     # 6. openings
+    _ph.mark("openings")
     zeta = transcript.get_extension_challenge()
     for st in states:
         air, log_n = st["air"], st["log_n"]
@@ -442,6 +450,7 @@ def prove_system(
             transcript.observe_extension(v)
 
     # 7. DEEP + FRI per table
+    _ph.mark("deep_fri")
     alpha2 = transcript.get_extension_challenge()
     table_proofs = []
     for st in states:
@@ -546,6 +555,7 @@ def prove_system(
             )
         )
 
+    _ph.end()
     return SystemProof(
         table_proofs=table_proofs,
         bus_totals=[st["bus_total"] for st in states],
