@@ -1,12 +1,16 @@
 """Benchmark: batched Poseidon permutation throughput (the prover's hot
 kernel — backs every Merkle-cap commitment and FRI layer).
 
+On TPU this runs the fused Pallas kernel (ops/pallas/poseidon.py: all 30
+rounds VMEM-resident, MDS as int8 MXU matmuls); on CPU it falls back to
+the XLA einsum path so the same script pins the baseline.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the same kernel measured on this environment's 2-vCPU host CPU
 (see BASELINE.md — the reference publishes no numbers, so baselines are
 measured; CPU rate recorded below from a pinned run of this same script
-with JAX_PLATFORMS=cpu).
+with --cpu).
 """
 
 import json
@@ -32,20 +36,26 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
-    import jax.numpy as jnp
     from blobstreamx_tpu.field import goldilocks as gl
     from blobstreamx_tpu.ops import poseidon as pos
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu:
+        from blobstreamx_tpu.ops.pallas import poseidon as ppos
+
+        fn = ppos.permute
+    else:
+        fn = jax.jit(pos._permute_impl)
 
     rng = np.random.default_rng(0)
     state = gl.from_int(
         rng.integers(0, 1 << 63, size=(BATCH, 12), dtype=np.uint64) % gl.P
     )
-    fn = jax.jit(pos._permute_impl)
     out = fn(state)
     out.block_until_ready()  # compile
     # correctness spot-check vs python reference
     got = [int(v) for v in gl.to_int(np.asarray(out[0]))]
-    want = pos.permute_ref([int(v) for v in gl.to_int(np.asarray(state[0]))])
+    want = pos.permute_py([int(v) for v in gl.to_int(np.asarray(state[0]))])
     assert got == want, "poseidon kernel mismatch vs reference"
 
     t0 = time.time()

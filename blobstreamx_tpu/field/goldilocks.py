@@ -31,7 +31,7 @@ GENERATOR = 7
 TWO_ADICITY = 32  # p - 1 = 2^32 * (2^32 - 1)
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = np.uint32(0xFFFF)  # numpy scalar: inlines as a literal (pallas-safe)
 
 
 def _u32(x):
@@ -92,8 +92,8 @@ def _geq64(al, ah, bl, bh):
     return (ah > bh) | ((ah == bh) & (al >= bl))
 
 
-_P_LO = jnp.uint32(0x00000001)
-_P_HI = jnp.uint32(0xFFFFFFFF)
+_P_LO = np.uint32(0x00000001)
+_P_HI = np.uint32(0xFFFFFFFF)
 
 
 def _canonicalize(lo, hi):
@@ -120,13 +120,13 @@ def _reduce128(n0, n1, n2, n3):
     """
     # t = n_lo - hi_hi  (borrow => subtract EPSILON further; cannot re-borrow)
     t_lo, t_hi, borrow = _sub64(n0, n1, n3, jnp.zeros_like(n3))
-    t_lo, t_hi, _ = _sub64(t_lo, t_hi, borrow * jnp.uint32(EPSILON), jnp.zeros_like(t_hi))
+    t_lo, t_hi, _ = _sub64(t_lo, t_hi, borrow * np.uint32(EPSILON), jnp.zeros_like(t_hi))
     # v = hi_lo * EPSILON = (hi_lo << 32) - hi_lo
     v_lo, bv = _subb(jnp.zeros_like(n2), n2)
     v_hi = n2 - bv
     r_lo, r_hi, carry = _add64(t_lo, t_hi, v_lo, v_hi)
     # carry => add EPSILON (cannot overflow again)
-    r_lo, r_hi, _ = _add64(r_lo, r_hi, carry * jnp.uint32(EPSILON), jnp.zeros_like(r_hi))
+    r_lo, r_hi, _ = _add64(r_lo, r_hi, carry * np.uint32(EPSILON), jnp.zeros_like(r_hi))
     return _canonicalize(r_lo, r_hi)
 
 
@@ -171,15 +171,19 @@ def to_int(x) -> np.ndarray:
     return arr[..., 0].astype(np.uint64) | (arr[..., 1].astype(np.uint64) << np.uint64(32))
 
 
-def add(x, y):
-    xl, xh = _split(x)
-    yl, yh = _split(y)
+def add_limbs(xl, xh, yl, yh):
+    """Plane-form add: separate lo/hi u32 arrays -> (lo, hi)."""
     lo, hi, carry = _add64(xl, xh, yl, yh)
     # carry => result >= 2^64: add EPSILON (2^64 mod p). Cannot carry again
     # since x, y < p means sum - 2^64 < p - 2^32.
-    lo, hi, _ = _add64(lo, hi, carry * jnp.uint32(EPSILON), jnp.zeros_like(hi))
-    lo, hi = _canonicalize(lo, hi)
-    return _join(lo, hi)
+    lo, hi, _ = _add64(lo, hi, carry * np.uint32(EPSILON), jnp.zeros_like(hi))
+    return _canonicalize(lo, hi)
+
+
+def add(x, y):
+    xl, xh = _split(x)
+    yl, yh = _split(y)
+    return _join(*add_limbs(xl, xh, yl, yh))
 
 
 def sub(x, y):
@@ -197,9 +201,8 @@ def neg(x):
     return sub(zeros(x.shape[:-1]), x)
 
 
-def mul(x, y):
-    xl, xh = _split(x)
-    yl, yh = _split(y)
+def mul_limbs(xl, xh, yl, yh):
+    """Plane-form mul: separate lo/hi u32 arrays -> (lo, hi)."""
     ll_lo, ll_hi = _mul32(xl, yl)
     lh_lo, lh_hi = _mul32(xl, yh)
     hl_lo, hl_hi = _mul32(xh, yl)
@@ -212,8 +215,13 @@ def mul(x, y):
     n2, c3 = _addc(n2, hl_hi)
     n2, c4 = _addc(n2, c0 + c1)  # c0+c1 <= 2, no overflow in add
     n3 = hh_hi + c2 + c3 + c4
-    lo, hi = _reduce128(n0, n1, n2, n3)
-    return _join(lo, hi)
+    return _reduce128(n0, n1, n2, n3)
+
+
+def mul(x, y):
+    xl, xh = _split(x)
+    yl, yh = _split(y)
+    return _join(*mul_limbs(xl, xh, yl, yh))
 
 
 def square(x):

@@ -85,12 +85,21 @@ def sharded_commit(traces: jnp.ndarray, mesh: Mesh, rate_bits: int = 3,
             cur = pos.hash_two_to_one(cur[:, 0::2], cur[:, 1::2])
         return cur  # (B, 2^cap_height, 4, 2)
 
-    fn = shard_map(
-        step,
+    kwargs = dict(
         mesh=mesh,
         in_specs=P("data", "col", None, None),
         out_specs=P("data", None, None, None),
     )
+    try:
+        # the all_gather makes the output replicated over "col", but the
+        # static VMA/rep checker cannot infer that — disable it (flag name
+        # varies across jax versions)
+        fn = shard_map(step, check_vma=False, **kwargs)
+    except TypeError:
+        try:
+            fn = shard_map(step, check_rep=False, **kwargs)
+        except TypeError:
+            fn = shard_map(step, **kwargs)
     return fn(traces)
 
 
