@@ -281,7 +281,9 @@ def permute(state: jnp.ndarray) -> jnp.ndarray:
             from .pallas import poseidon as ppos
 
             return ppos.permute(state)
-        return _permute_jit(state) if _unroll() else _permute_scan_jit(state)
+        # eager big-batch on CPU: the unrolled jit is the long-standing
+        # cached artifact (compile paid once, persisted in .jax_cache)
+        return _permute_jit(state)
     return _permute_impl(state)  # eager small-batch: per-op dispatch, no jit
 
 
