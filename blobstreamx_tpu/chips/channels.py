@@ -22,3 +22,7 @@ RANGE16 = 14    # (value) — 16-bit range check against the range16 chip
 ED_SCALAR = 15  # (instance, which, limb_idx, limb) — scalars S (which=0) / k bytes
 ED_POINT = 16   # (instance, which, byte_idx, byte) — compressed A (0) / R (1)
 ED_OK = 17      # (instance, valid) — verification outcome bit
+
+# Poseidon chip (instance = permutation id; see chips/poseidon.py)
+POS_IN = 18     # (instance, slot, value) — absorbed lanes 0..11, Merkle sib 12..15, dir 16
+POS_OUT = 19    # (instance, lane, value) — output state lanes read by the CPU

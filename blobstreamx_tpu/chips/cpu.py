@@ -49,9 +49,11 @@ F_S512_OUT_A = 27
 F_S512_OUT_E = 28
 F_ED_POINT = 29
 F_ED_SCALAR = 30
-PRE_WIDTH = 31
+F_POS_IN = 31
+F_POS_OUT = 32
+PRE_WIDTH = 33
 
-N_FLAGS = 10
+N_FLAGS = 12
 
 
 @dataclass
@@ -66,13 +68,13 @@ class Row:
     constrain: int = 0
     defines: int = 0  # 1 if this row is the defining site of out_idx
     # pub, sha_w, sha_out_a, sha_out_e, range8, s512_w, s512_out_a,
-    # s512_out_e, ed_point, ed_scalar
-    flags: tuple = (0,) * 10
+    # s512_out_e, ed_point, ed_scalar, pos_in, pos_out
+    flags: tuple = (0,) * N_FLAGS
     io: tuple = (0, 0, 0)  # inst, slot/pos(j), blk(which)
 
     def __post_init__(self):
-        if len(self.flags) < 10:
-            self.flags = tuple(self.flags) + (0,) * (10 - len(self.flags))
+        if len(self.flags) < N_FLAGS:
+            self.flags = tuple(self.flags) + (0,) * (N_FLAGS - len(self.flags))
 
 
 class CpuAir(Air):
@@ -101,6 +103,7 @@ class CpuAir(Air):
             flags = tuple(r.flags) + (0,) * (N_FLAGS - len(r.flags))
             pre[i, F_PUB:F_RANGE8 + 1] = flags[:5]
             pre[i, F_S512_W:F_ED_SCALAR + 1] = flags[5:10]
+            pre[i, F_POS_IN:F_POS_OUT + 1] = flags[10:12]
             pre[i, F_OUT_RECV] = 1 if (r.constrain and not r.defines) else 0
             pre[i, IO_A:IO_C + 1] = r.io
         return pre
@@ -138,6 +141,9 @@ class CpuAir(Air):
         # Ed25519 chip feeds: io = (inst, idx, which)
         b.send(ch.ED_POINT, [inst, blk, pos, vin[0]], b.pre_local(F_ED_POINT))
         b.send(ch.ED_SCALAR, [inst, blk, pos, vin[0]], b.pre_local(F_ED_SCALAR))
+        # Poseidon chip: io = (inst, slot/lane, 0)
+        b.send(ch.POS_IN, [inst, pos, vin[0]], b.pre_local(F_POS_IN))
+        b.receive(ch.POS_OUT, [inst, pos, out], b.pre_local(F_POS_OUT))
 
 
 def build_trace(rows: List[Row], wire_values: np.ndarray, n_rows: int) -> np.ndarray:

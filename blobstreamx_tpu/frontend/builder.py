@@ -99,6 +99,25 @@ class Sha512Call:
 
 
 @dataclass
+class PosPerm:
+    """One scheduled Poseidon permutation (chips/poseidon.py row)."""
+
+    inst: int
+    chain: int
+    cpos: int
+    absorb: Dict[int, int]  # lane -> wire
+    carry: tuple = ()
+    merkle: bool = False
+    sib_wires: tuple = ()  # 4 wires (merkle mode)
+    dir_wire: int = -1
+    out_lanes: set = None
+
+    def __post_init__(self):
+        if self.out_lanes is None:
+            self.out_lanes = set()
+
+
+@dataclass
 class EdCall:
     """One Ed25519 verification instance routed to the EC chip."""
 
@@ -118,6 +137,8 @@ class CircuitBuilder:
         self.sha_calls: List[ShaCall] = []
         self.sha512_calls: List[Sha512Call] = []
         self.ed_calls: List[EdCall] = []
+        self.pos_perms: List[PosPerm] = []
+        self._pos_chains = 0
         self.range_checked: List[int] = []
         self.n_public = 0
         self.public_wires: List[int] = []
@@ -600,6 +621,56 @@ class CircuitBuilder:
             out_bytes.extend(self.unpack_word_to_bytes(Variable(lo_w)))
         return out_bytes
 
+    # -- Poseidon (chips/poseidon.py; backs in-circuit recursion) -----------
+    def pos_new_chain(self) -> int:
+        """Allocate a chain id; perms with the same chain id carry state
+        in-chip (sponge / transcript duplex / Merkle climbs)."""
+        c = self._pos_chains
+        self._pos_chains += 1
+        return c
+
+    def pos_perm(self, chain: int, cpos: int, absorb: Dict[int, int],
+                 carry=(), merkle=False, sib_wires=(), dir_wire=-1) -> PosPerm:
+        """Schedule one permutation. absorb: {lane: wire}; carry: lanes
+        carried from the previous perm of the chain; merkle mode instead
+        consumes 4 sibling wires + a direction wire and dir-selects against
+        the previous perm's digest in-chip."""
+        inst = len(self.pos_perms)
+        perm = PosPerm(inst, chain, cpos, dict(absorb), tuple(carry),
+                       merkle, tuple(sib_wires), dir_wire)
+        self.pos_perms.append(perm)
+        flags_in = (0,) * 10 + (1, 0)
+        if merkle:
+            assert not absorb and not carry and cpos > 0
+            for j, w in enumerate(sib_wires):
+                self._row(cpu.Row(
+                    in_idx=(self._read(w), 0, 0, 0), in_act=(1, 0, 0, 0),
+                    flags=flags_in, io=(inst, 12 + j, 0),
+                ))
+            self._row(cpu.Row(
+                in_idx=(self._read(dir_wire), 0, 0, 0), in_act=(1, 0, 0, 0),
+                flags=flags_in, io=(inst, 16, 0),
+            ))
+        else:
+            for lane, w in sorted(absorb.items()):
+                self._row(cpu.Row(
+                    in_idx=(self._read(w), 0, 0, 0), in_act=(1, 0, 0, 0),
+                    flags=flags_in, io=(inst, lane, 0),
+                ))
+        self.events.append(("pos", perm))
+        return perm
+
+    def pos_read(self, perm: PosPerm, lane: int) -> Variable:
+        """Read one output lane of a scheduled permutation."""
+        assert lane not in perm.out_lanes, "lane already read"
+        perm.out_lanes.add(lane)
+        w = self._new_wire()
+        self._row(cpu.Row(
+            out_idx=w, defines=1, flags=(0,) * 11 + (1,),
+            io=(perm.inst, lane, 0),
+        ))
+        return Variable(w)
+
     # -- variable-length hashing ------------------------------------------
     def _pad_variable(self, message, length, min_len, block: int):
         """FIPS padding with circuit-computed position (len in [min_len, max]).
@@ -841,6 +912,23 @@ class CompiledCircuit:
             self.sha512_schedule, self.n_sha512_rows
         )
         self.bytes_air = bytes_chip.BytesAir()
+        self.pos_air = None
+        if builder.pos_perms:
+            from ..chips import poseidon as pos_chip
+
+            self.n_pos_rows = 1 << max(4, (len(builder.pos_perms) - 1).bit_length())
+            self.pos_schedule = pos_chip.pad_schedule(
+                [
+                    pos_chip.PermSpec(
+                        p.inst, p.chain, p.cpos,
+                        absorb=tuple(sorted(p.absorb)), carry=p.carry,
+                        merkle=p.merkle, out_lanes=tuple(sorted(p.out_lanes)),
+                    )
+                    for p in builder.pos_perms
+                ],
+                self.n_pos_rows,
+            )
+            self.pos_air = pos_chip.PoseidonAir(self.pos_schedule, self.n_pos_rows)
         self.ed_air = None
         if builder.ed_calls:
             from ..chips import ed25519 as ed_chip
@@ -864,6 +952,8 @@ class CompiledCircuit:
 
         sha_digests: Dict[int, List[int]] = {}
         sha512_digests: Dict[int, List[int]] = {}
+        pos_outputs: Dict[int, List[int]] = {}
+        pos_chain_out: Dict[int, List[int]] = {}
         for ev in b.events:
             if ev[0] == "row":
                 row = b.rows[ev[1]]
@@ -889,6 +979,8 @@ class CompiledCircuit:
                     vals[row.out_idx] = sha512_digests[row.io[0]][row.io[1]]
                 elif row.flags[7]:
                     vals[row.out_idx] = sha512_digests[row.io[0]][8 + row.io[1]]
+                elif row.flags[11]:
+                    vals[row.out_idx] = pos_outputs[row.io[0]][row.io[1]]
             elif ev[0] == "hint":
                 _, fn, ins, outs = ev
                 results = fn([int(vals[w]) for w in ins])
@@ -914,6 +1006,27 @@ class CompiledCircuit:
                         state = _sha.compress_blocks(blk, state)
                     words = [int(v) for v in state[0]]
                 sha_digests[call.inst] = words
+            elif ev[0] == "pos":
+                from ..ops import poseidon as _pos
+
+                perm: PosPerm = ev[1]
+                st = [0] * _pos.WIDTH
+                if perm.merkle:
+                    dig = pos_chain_out[perm.chain][:4]
+                    sib = [int(vals[w]) for w in perm.sib_wires]
+                    if int(vals[perm.dir_wire]):
+                        st[0:4], st[4:8] = sib, dig
+                    else:
+                        st[0:4], st[4:8] = dig, sib
+                else:
+                    prev = pos_chain_out.get(perm.chain)
+                    for i in perm.carry:
+                        st[i] = prev[i]
+                    for lane, w in perm.absorb.items():
+                        st[lane] = int(vals[w])
+                out = _pos.permute_ref(st)
+                pos_outputs[perm.inst] = out
+                pos_chain_out[perm.chain] = out
             elif ev[0] == "sha512":
                 call512: Sha512Call = ev[1]
                 if call512.message_byte_wires is not None:
@@ -992,6 +1105,23 @@ class CompiledCircuit:
         out = {
             "cpu": cpu_trace, "sha": sha_trace, "sha512": sha512_trace,
         }
+        if self.pos_air is not None:
+            from ..chips import poseidon as pos_chip
+
+            absorb_vals = {
+                p.inst: {lane: int(vals[w]) for lane, w in p.absorb.items()}
+                for p in b.pos_perms
+            }
+            sib_vals = {
+                p.inst: [int(vals[w]) for w in p.sib_wires]
+                for p in b.pos_perms if p.merkle
+            }
+            dir_vals = {
+                p.inst: int(vals[p.dir_wire]) for p in b.pos_perms if p.merkle
+            }
+            out["pos"] = pos_chip.build_trace(
+                self.pos_schedule, absorb_vals, sib_vals, dir_vals
+            )
         if self.ed_air is not None:
             from ..chips import ed25519 as ed_chip
             from ..chips import range16 as range16_chip
@@ -1023,18 +1153,19 @@ class CompiledCircuit:
         ]
 
     # -- proving -----------------------------------------------------------
-    def prove(self, public_inputs: Dict[int, int], cfg=None, pks=None):
-        from ..proof import stark, system
-
     def airs(self) -> List:
         """The proof system's tables, in order."""
         airs = [self.cpu_air, self.sha_air, self.sha512_air]
+        if self.pos_air is not None:
+            airs.append(self.pos_air)
         if self.ed_air is not None:
             airs += [self.ed_air, self.range16_air]
         return airs + [self.bytes_air]
 
     def _table_names(self) -> List[str]:
         names = ["cpu", "sha", "sha512"]
+        if self.pos_air is not None:
+            names.append("pos")
         if self.ed_air is not None:
             names += ["ed", "range16"]
         return names + ["bytes"]
@@ -1076,6 +1207,8 @@ class CompiledCircuit:
             "cpu": self.n_cpu_rows, "sha": self.n_sha_rows,
             "sha512": self.n_sha512_rows, "bytes": bytes_chip.N_ROWS,
         }
+        if self.pos_air is not None:
+            sizes["pos"] = self.n_pos_rows
         if self.ed_air is not None:
             from ..chips import range16 as range16_chip
 
