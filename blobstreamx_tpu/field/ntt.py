@@ -53,17 +53,31 @@ def _bit_reverse_perm(log_n: int) -> np.ndarray:
     return rev
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations over the order-n subgroup
     (natural order). Inverse maps evaluations -> coefficients.
 
-    coeffs: (..., n, 2) with n a power of two.
+    coeffs: (..., n, 2) with n a power of two. On TPU, sizes up to
+    MAX_FUSED_N run the fused Pallas kernel (ops/pallas/ntt.py: all
+    butterfly stages VMEM-resident); elsewhere the staged XLA path below.
     """
     n = coeffs.shape[-2]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n, "n must be a power of two"
     if n == 1:
         return coeffs
+    if _on_tpu():
+        from ..ops.pallas import ntt as pntt
+
+        if pntt.MIN_FUSED_N <= n <= pntt.MAX_FUSED_N:
+            return pntt.ntt(coeffs, inverse)
 
     x = coeffs
     # decimation-in-time: start from bit-reversed order

@@ -111,13 +111,25 @@ def compress_blocks(blocks: np.ndarray, state_in: np.ndarray, trace: bool = Fals
     return state_out
 
 
+PALLAS_THRESHOLD = 2048  # messages; below this the numpy path wins
+
+
 def sha256_fixed_len(msgs: np.ndarray) -> np.ndarray:
     """Batch-hash equal-length messages.
 
     msgs: (B, L) uint8. Returns (B, 32) uint8 digests. Vectorized across the
-    batch (all messages share the same padding/block count).
+    batch (all messages share the same padding/block count). Large batches
+    on TPU run the fused Pallas kernel (ops/pallas/sha256.py: all blocks and
+    all 64 rounds VMEM-resident).
     """
     msgs = np.ascontiguousarray(msgs, dtype=np.uint8)
+    if msgs.shape[0] >= PALLAS_THRESHOLD:
+        from .poseidon import _on_tpu
+
+        if _on_tpu():
+            from .pallas import sha256 as psha
+
+            return psha.sha256_fixed_len(msgs)
     B, L = msgs.shape
     pad = bytearray(b"\x80")
     while (L + len(pad)) % 64 != 56:
