@@ -146,12 +146,28 @@ class CpuAir(Air):
         b.receive(ch.POS_OUT, [inst, pos, out], b.pre_local(F_POS_OUT))
 
 
-def build_trace(rows: List[Row], wire_values: np.ndarray, n_rows: int) -> np.ndarray:
-    """Materialize the value columns from the solved wire table."""
-    trace = np.zeros((n_rows, WIDTH), dtype=np.uint64)
+def trace_index_arrays(rows: List[Row]):
+    """Precomputed gather indices for build_trace (build-once, prove-many)."""
+    n = len(rows)
+    in_idx = np.zeros((n, 4), dtype=np.int64)
+    in_act = np.zeros((n, 4), dtype=bool)
+    out_idx = np.zeros(n, dtype=np.int64)
     for i, r in enumerate(rows):
-        for p in range(4):
-            if r.in_act[p]:
-                trace[i, V_IN1 + p] = wire_values[r.in_idx[p]]
-        trace[i, V_OUT] = wire_values[r.out_idx]
+        in_idx[i] = r.in_idx
+        in_act[i] = [bool(a) for a in r.in_act]
+        out_idx[i] = r.out_idx
+    return in_idx, in_act, out_idx
+
+
+def build_trace(rows: List[Row], wire_values: np.ndarray, n_rows: int,
+                idx_arrays=None) -> np.ndarray:
+    """Materialize the value columns from the solved wire table
+    (vectorized gather; idx_arrays from trace_index_arrays)."""
+    if idx_arrays is None:
+        idx_arrays = trace_index_arrays(rows)
+    in_idx, in_act, out_idx = idx_arrays
+    n = len(rows)
+    trace = np.zeros((n_rows, WIDTH), dtype=np.uint64)
+    trace[:n, V_IN1:V_IN4 + 1] = np.where(in_act, wire_values[in_idx], 0)
+    trace[:n, V_OUT] = wire_values[out_idx]
     return trace

@@ -14,7 +14,13 @@ from typing import Dict, List, Optional, Tuple
 from ..tendermint.header import Header
 from . import consts
 
-DEFAULT_FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+# Vendored golden fixtures (recorded mocha-4 chain data, same JSON formats
+# as reference circuits/fixtures/mocha-4) ship with the package so the repo
+# is self-testing without the reference mount.
+DEFAULT_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "mocha-4",
+)
 
 
 @dataclass

@@ -186,14 +186,17 @@ class ValidatorVariable:
 
 def validator_leaf_hash(b: CircuitBuilder, v: ValidatorVariable) -> Bytes32Variable:
     """sha256(0x00 || SimpleValidator marshal) with variable power varint."""
-    prefix = [b.byte_constant(x) for x in (0x0A, 0x24, 0x0A, 0x22)]
+    # SimpleValidator marshal: 0A 22 (pub_key field, 34 B) 0A 20 (ed25519
+    # key, 32 B) || pk || 10 || varint(power) — matches
+    # tendermint/vote.py Validator.simple_encode (fixture bit-exact)
+    prefix = [b.byte_constant(x) for x in (0x0A, 0x22, 0x0A, 0x20)]
     leaf = prefix + list(v.pubkey) + [b.byte_constant(0x10)] + list(v.power_varint)
     # power < 2^32 for the varint gadget (power.hi == 0 when enabled)
     b._assert_expr_zero(qm_pair=(1, v.enabled.wire, v.power.hi.wire))
     assert_varint_u32(b, v.power_varint, v.varint_len, v.power.lo, v.enabled)
-    total = b._arith(q0=39, terms=[(1, v.varint_len.wire)])  # 1 + 38 + vlen
+    total = b._arith(q0=38, terms=[(1, v.varint_len.wire)])  # 1 + 37 + vlen
     return b.sha256_var(
-        [b.byte_constant(0)] + leaf, U32Variable(total.wire), 40
+        [b.byte_constant(0)] + leaf, U32Variable(total.wire), 39
     )
 
 
@@ -322,7 +325,7 @@ def assert_power_quorum(b: CircuitBuilder, validators: List[ValidatorVariable],
         def split(vals):
             return [vals[0] & 0xFFFFFFFF, vals[0] >> 32]
 
-        lo_w, hi_w = b.hint([x], 2, split)
+        lo_w, hi_w = b.hint([x], 2, split, kind="split64")
         b.unpack_word_to_bytes(Variable(lo_w))
         b.unpack_word_to_bytes(Variable(hi_w))
         b._assert_expr_zero(

@@ -60,27 +60,9 @@ def _on_tpu() -> bool:
         return False
 
 
-def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """Forward NTT: coefficients -> evaluations over the order-n subgroup
-    (natural order). Inverse maps evaluations -> coefficients.
-
-    coeffs: (..., n, 2) with n a power of two. On TPU, sizes up to
-    MAX_FUSED_N run the fused Pallas kernel (ops/pallas/ntt.py: all
-    butterfly stages VMEM-resident); elsewhere the staged XLA path below.
-    """
-    n = coeffs.shape[-2]
-    log_n = n.bit_length() - 1
-    assert 1 << log_n == n, "n must be a power of two"
-    if n == 1:
-        return coeffs
-    if _on_tpu():
-        from ..ops.pallas import ntt as pntt
-
-        if pntt.MIN_FUSED_N <= n <= pntt.MAX_FUSED_N:
-            return pntt.ntt(coeffs, inverse)
-
-    x = coeffs
-    # decimation-in-time: start from bit-reversed order
+def _ntt_staged(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+    """The staged butterfly body (traced under jit, one graph per shape)."""
+    n = 1 << log_n
     perm = _bit_reverse_perm(log_n)
     x = x[..., perm, :]
     stages = _twiddles(log_n, inverse)
@@ -98,6 +80,36 @@ def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
         n_inv = pow(n, gl.P - 2, gl.P)
         x = gl.mul(x, jnp.broadcast_to(gl.from_int(n_inv), x.shape))
     return x
+
+
+_ntt_staged_jit = jax.jit(_ntt_staged, static_argnums=(1, 2))
+
+
+def ntt(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """Forward NTT: coefficients -> evaluations over the order-n subgroup
+    (natural order). Inverse maps evaluations -> coefficients.
+
+    coeffs: (..., n, 2) with n a power of two. On TPU, sizes up to
+    MAX_FUSED_N run the fused Pallas kernel (ops/pallas/ntt.py: all
+    butterfly stages VMEM-resident); elsewhere the staged body runs under
+    jit (one cached XLA graph per shape — eager per-op dispatch costs
+    ~50ms per stage op on small CPU hosts, 1000x the fused sweep)."""
+    n = coeffs.shape[-2]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n, "n must be a power of two"
+    if n == 1:
+        return coeffs
+    if _on_tpu():
+        from ..ops.pallas import ntt as pntt
+
+        if pntt.MIN_FUSED_N <= n <= pntt.MAX_FUSED_N:
+            return pntt.ntt(coeffs, inverse)
+
+    import jax.core as _core
+
+    if isinstance(coeffs, _core.Tracer):  # already inside an outer jit
+        return _ntt_staged(coeffs, log_n, inverse)
+    return _ntt_staged_jit(coeffs, log_n, inverse)
 
 
 def coset_shift(coeffs: jnp.ndarray, shift: int) -> jnp.ndarray:

@@ -249,21 +249,24 @@ class CircuitBuilder:
         self._row(cpu.Row(out_idx=out, constrain=0, defines=1))
         return out
 
-    def hint(self, in_vars: Sequence, n_out: int, fn: Callable) -> List[int]:
+    def hint(self, in_vars: Sequence, n_out: int, fn: Callable,
+             kind: str = None) -> List[int]:
         """fn(values: list[int]) -> list[int]; outputs become free wires.
 
         Equivalent capability to plonky2x's hint generators (SURVEY.md D8).
-        """
+        `kind` tags well-known hint semantics so the batched witness engine
+        (frontend/witness.py) can vectorize them; untagged hints run as
+        Python callbacks."""
         in_wires = [v.wire if hasattr(v, "wire") else int(v) for v in in_vars]
         outs = [self.free_wire() for _ in range(n_out)]
-        self.events.append(("hint", fn, in_wires, outs))
+        self.events.append(("hint", fn, in_wires, outs, kind))
         return outs
 
     def hint_into(self, in_vars: Sequence, out_wires: Sequence[int], fn: Callable):
         """Like hint(), but fills pre-allocated free wires instead of
         creating new ones (used by witness fetchers filling big structs)."""
         in_wires = [v.wire if hasattr(v, "wire") else int(v) for v in in_vars]
-        self.events.append(("hint", fn, in_wires, list(out_wires)))
+        self.events.append(("hint", fn, in_wires, list(out_wires), None))
 
     def watch(self, var, label: str):
         self._watches.append((label, var))
@@ -295,7 +298,7 @@ class CircuitBuilder:
             v = vals[0]
             return [0 if v == 0 else pow(v, gl.P - 2, gl.P)]
 
-        (inv_w,) = self.hint([a], 1, inv_hint)
+        (inv_w,) = self.hint([a], 1, inv_hint, kind="inv0")
         z = self._arith(q0=1, qm_pair=(gl.P - 1, a.wire, inv_w))
         self._assert_expr_zero(qm_pair=(1, z.wire, a.wire))
         return BoolVariable(z.wire)
@@ -351,7 +354,7 @@ class CircuitBuilder:
             v = vals[0]
             return [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF]
 
-        outs = self.hint([word], 4, split)
+        outs = self.hint([word], 4, split, kind="split4")
         for w in outs:
             self.add_byte_check(w)
         t = self.pack4(*[ByteVariable(w) for w in outs])
@@ -395,7 +398,8 @@ class CircuitBuilder:
         ins = [Variable(a.wire), Variable(b.wire)]
         if c_in is not None:
             ins.append(Variable(c_in.wire))
-        (carry_w,) = self.hint(ins, 1, carry_hint)
+        (carry_w,) = self.hint(ins, 1, carry_hint,
+                               kind="carry3" if c_in is not None else "carry2")
         carry = BoolVariable(carry_w)
         self.assert_bool(carry)
         if c_in is not None:
@@ -422,7 +426,8 @@ class CircuitBuilder:
         def borrow_hint(vals):
             return [1 if vals[0] < vals[1] else 0]
 
-        (h_w,) = self.hint([Variable(a.wire), Variable(b.wire)], 1, borrow_hint)
+        (h_w,) = self.hint([Variable(a.wire), Variable(b.wire)], 1, borrow_hint,
+                           kind="borrow2")
         borrow = BoolVariable(h_w)
         self.assert_bool(borrow)
         d = self._arith(terms=[(1, a.wire), (gl.P - 1, b.wire), (TWO32, h_w)])
@@ -435,7 +440,8 @@ class CircuitBuilder:
             return [1 if av < bv + bo else 0]
 
         (h_w,) = self.hint(
-            [Variable(a.wire), Variable(b.wire), Variable(b_in.wire)], 1, hint_fn
+            [Variable(a.wire), Variable(b.wire), Variable(b_in.wire)], 1,
+            hint_fn, kind="borrow3",
         )
         borrow = BoolVariable(h_w)
         self.assert_bool(borrow)
@@ -713,7 +719,7 @@ class CircuitBuilder:
         def split2(vals):
             return [vals[0] >> 8, vals[0] & 0xFF]
 
-        hi_w, lo_w = self.hint([bitlen], 2, split2)
+        hi_w, lo_w = self.hint([bitlen], 2, split2, kind="split2")
         self.add_byte_check(hi_w)
         self.add_byte_check(lo_w)
         self._assert_expr_zero(
@@ -751,7 +757,7 @@ class CircuitBuilder:
         def sign_hint(vals):
             return [vals[0] >> 7]
 
-        (sgn_w,) = self.hint([Variable(b31.wire)], 1, sign_hint)
+        (sgn_w,) = self.hint([Variable(b31.wire)], 1, sign_hint, kind="shr7")
         self.assert_bool(BoolVariable(sgn_w))
         low7 = self._arith(terms=[(1, b31.wire), (gl.P - 128, sgn_w)])
         self.add_byte_check(low7.wire)
@@ -892,25 +898,33 @@ class CompiledCircuit:
     def __init__(self, builder: CircuitBuilder):
         self.b = builder
         self.n_cpu_rows = 1 << max(4, (len(builder.rows) - 1).bit_length())
-        n_blocks = sum(len(c.blocks_word_wires) for c in builder.sha_calls)
-        seg_rows = max(1, n_blocks) * sha_chip.SEGMENT
-        self.n_sha_rows = 1 << max(8, (seg_rows - 1).bit_length())
-        self.sha_schedule = sha_chip.schedule_for(
-            [len(c.blocks_word_wires) for c in builder.sha_calls],
-            self.n_sha_rows,
-        )
-        n_blocks512 = sum(len(c.blocks_half_wires) for c in builder.sha512_calls)
-        seg512 = max(1, n_blocks512) * sha512_chip.SEGMENT
-        self.n_sha512_rows = 1 << max(7, (seg512 - 1).bit_length())
-        self.sha512_schedule = sha512_chip.schedule_for(
-            [len(c.blocks_half_wires) for c in builder.sha512_calls],
-            self.n_sha512_rows,
-        )
         self.cpu_air = cpu.CpuAir(builder.rows, self.n_cpu_rows)
-        self.sha_air = sha_chip.Sha256Air(self.sha_schedule, self.n_sha_rows)
-        self.sha512_air = sha512_chip.Sha512Air(
-            self.sha512_schedule, self.n_sha512_rows
-        )
+        # empty accelerator tables are dropped entirely (smaller proofs and
+        # a much smaller recursive verifier: no table, no transcript/FRI/
+        # openings work for it — the unused bus channels simply carry no
+        # messages, so the balance argument is unaffected)
+        self.sha_air = None
+        n_blocks = sum(len(c.blocks_word_wires) for c in builder.sha_calls)
+        if n_blocks:
+            seg_rows = n_blocks * sha_chip.SEGMENT
+            self.n_sha_rows = 1 << max(8, (seg_rows - 1).bit_length())
+            self.sha_schedule = sha_chip.schedule_for(
+                [len(c.blocks_word_wires) for c in builder.sha_calls],
+                self.n_sha_rows,
+            )
+            self.sha_air = sha_chip.Sha256Air(self.sha_schedule, self.n_sha_rows)
+        self.sha512_air = None
+        n_blocks512 = sum(len(c.blocks_half_wires) for c in builder.sha512_calls)
+        if n_blocks512:
+            seg512 = n_blocks512 * sha512_chip.SEGMENT
+            self.n_sha512_rows = 1 << max(7, (seg512 - 1).bit_length())
+            self.sha512_schedule = sha512_chip.schedule_for(
+                [len(c.blocks_half_wires) for c in builder.sha512_calls],
+                self.n_sha512_rows,
+            )
+            self.sha512_air = sha512_chip.Sha512Air(
+                self.sha512_schedule, self.n_sha512_rows
+            )
         self.bytes_air = bytes_chip.BytesAir()
         self.pos_air = None
         if builder.pos_perms:
@@ -944,126 +958,42 @@ class CompiledCircuit:
             self.range16_air = range16_chip.Range16Air()
 
     def generate_witness(self, public_inputs: Dict[int, int] = None) -> np.ndarray:
-        """Run the straight-line program. public_inputs: {position: byte}."""
+        """Run the program through the batched witness engine
+        (frontend/witness.py): leveled schedule, vectorized sweeps.
+        public_inputs: {position: byte}."""
+        from . import witness as wmod
+
+        if not hasattr(self, "_witness_program"):
+            self._witness_program = wmod.WitnessProgram(self.b)
         b = self.b
         vals = np.zeros(b.n_wires, dtype=np.uint64)
         for pos, byte in (public_inputs or {}).items():
             vals[b.public_wires[pos]] = byte
-
-        sha_digests: Dict[int, List[int]] = {}
-        sha512_digests: Dict[int, List[int]] = {}
-        pos_outputs: Dict[int, List[int]] = {}
-        pos_chain_out: Dict[int, List[int]] = {}
-        for ev in b.events:
-            if ev[0] == "row":
-                row = b.rows[ev[1]]
-                if row.constrain and row.defines:
-                    acc = row.q[0]
-                    qs = row.q[1:5]
-                    for p in range(4):
-                        if row.in_act[p]:
-                            acc = (acc + qs[p] * int(vals[row.in_idx[p]])) % gl.P
-                    if row.q[5]:
-                        acc = (
-                            acc
-                            + row.q[5]
-                            * int(vals[row.in_idx[0]])
-                            * int(vals[row.in_idx[1]])
-                        ) % gl.P
-                    vals[row.out_idx] = acc
-                elif row.flags[2]:
-                    vals[row.out_idx] = sha_digests[row.io[0]][row.io[1]]
-                elif row.flags[3]:
-                    vals[row.out_idx] = sha_digests[row.io[0]][4 + row.io[1]]
-                elif row.flags[6]:
-                    vals[row.out_idx] = sha512_digests[row.io[0]][row.io[1]]
-                elif row.flags[7]:
-                    vals[row.out_idx] = sha512_digests[row.io[0]][8 + row.io[1]]
-                elif row.flags[11]:
-                    vals[row.out_idx] = pos_outputs[row.io[0]][row.io[1]]
-            elif ev[0] == "hint":
-                _, fn, ins, outs = ev
-                results = fn([int(vals[w]) for w in ins])
-                for w, r in zip(outs, results):
-                    vals[w] = int(r) % gl.P
-            elif ev[0] == "sha":
-                call: ShaCall = ev[1]
-                if call.message_byte_wires is not None:
-                    msg = bytes(int(vals[w]) & 0xFF for w in call.message_byte_wires)
-                    digest = hashlib.sha256(msg).digest()
-                    words = [
-                        int.from_bytes(digest[4 * i:4 * i + 4], "big")
-                        for i in range(8)
-                    ]
-                else:  # raw blocks: compress the (circuit-computed) padding
-                    from ..ops import sha256 as _sha
-
-                    state = _sha.H0[None].copy()
-                    for word_wires in call.blocks_word_wires:
-                        blk = np.array(
-                            [[int(vals[w]) for w in word_wires]], dtype=np.uint32
-                        )
-                        state = _sha.compress_blocks(blk, state)
-                    words = [int(v) for v in state[0]]
-                sha_digests[call.inst] = words
-            elif ev[0] == "pos":
-                from ..ops import poseidon as _pos
-
-                perm: PosPerm = ev[1]
-                st = [0] * _pos.WIDTH
-                if perm.merkle:
-                    dig = pos_chain_out[perm.chain][:4]
-                    sib = [int(vals[w]) for w in perm.sib_wires]
-                    if int(vals[perm.dir_wire]):
-                        st[0:4], st[4:8] = sib, dig
-                    else:
-                        st[0:4], st[4:8] = dig, sib
-                else:
-                    prev = pos_chain_out.get(perm.chain)
-                    for i in perm.carry:
-                        st[i] = prev[i]
-                    for lane, w in perm.absorb.items():
-                        st[lane] = int(vals[w])
-                out = _pos.permute_ref(st)
-                pos_outputs[perm.inst] = out
-                pos_chain_out[perm.chain] = out
-            elif ev[0] == "sha512":
-                call512: Sha512Call = ev[1]
-                if call512.message_byte_wires is not None:
-                    msg = bytes(
-                        int(vals[w]) & 0xFF for w in call512.message_byte_wires
-                    )
-                    digest = hashlib.sha512(msg).digest()
-                else:
-                    from ..ops import sha512 as _sha5
-
-                    state = _sha5.H0[None].copy()
-                    for half_wires in call512.blocks_half_wires:
-                        blk = np.array(
-                            [[
-                                int(vals[half_wires[2 * wi]])
-                                | (int(vals[half_wires[2 * wi + 1]]) << 32)
-                                for wi in range(16)
-                            ]],
-                            dtype=np.uint64,
-                        )
-                        state = _sha5.compress_blocks(blk, state)
-                    digest = b"".join(
-                        int(v).to_bytes(8, "big") for v in state[0]
-                    )
-                halves = []
-                for j in range(8):
-                    word = int.from_bytes(digest[8 * j:8 * j + 8], "big")
-                    halves.append((word & 0xFFFFFFFF, word >> 32))
-                # layout: a-side words 0..3 (lo,hi), then e-side words 4..7
-                sha512_digests[call512.inst] = [
-                    h for pair in halves[:4] for h in pair
-                ] + [h for pair in halves[4:] for h in pair]
+        self._witness_program.run(vals)
         for label, var in b._watches:
             try:
                 print(f"[watch] {label}: {self._render(var, vals)}")
             except Exception:
                 pass
+        return vals
+
+    def generate_witness_interp(self, public_inputs: Dict[int, int] = None) -> np.ndarray:
+        """Sequential oracle: same dataflow schedule as generate_witness but
+        one op at a time via python ints and the hints' original callbacks
+        (frontend/witness.py run_sequential). NOTE: dataflow (level) order,
+        not event-emission order — gadgets may consume allocated wires that
+        a later-registered hint_into fills (e.g. tendermint alloc_* helpers);
+        emission-order execution would read them as zero and produce a
+        constraint-violating witness."""
+        from . import witness as wmod
+
+        if not hasattr(self, "_witness_program"):
+            self._witness_program = wmod.WitnessProgram(self.b)
+        b = self.b
+        vals = np.zeros(b.n_wires, dtype=np.uint64)
+        for pos, byte in (public_inputs or {}).items():
+            vals[b.public_wires[pos]] = byte
+        self._witness_program.run_sequential(vals)
         return vals
 
     @staticmethod
@@ -1076,35 +1006,47 @@ class CompiledCircuit:
             return int(vals[var.wire])
         return var
 
+    def _trace_gathers(self):
+        """Build-once gather indices for trace materialization."""
+        b = self.b
+        g = {}
+        g["cpu"] = cpu.trace_index_arrays(b.rows)
+        g["sha"] = [np.array(c.blocks_word_wires, dtype=np.int64)
+                    for c in b.sha_calls]
+        g["sha512"] = [np.array(c.blocks_half_wires, dtype=np.int64)
+                       for c in b.sha512_calls]
+        g["range"] = np.array(b.range_checked, dtype=np.int64)
+        g["ed"] = [(np.array(c.pubkey_wires, dtype=np.int64),
+                    np.array(c.sig_wires, dtype=np.int64),
+                    np.array(c.msg_wires, dtype=np.int64), c.len_wire)
+                   for c in b.ed_calls]
+        return g
+
     def traces(self, vals: np.ndarray):
         b = self.b
-        cpu_trace = cpu.build_trace(b.rows, vals, self.n_cpu_rows)
-        messages = []
-        for call in b.sha_calls:
-            blocks = np.zeros((len(call.blocks_word_wires), 16), dtype=np.uint32)
-            for bi, word_wires in enumerate(call.blocks_word_wires):
-                for si, w in enumerate(word_wires):
-                    blocks[bi, si] = int(vals[w])
-            messages.append(blocks)
-        sha_trace = sha_chip.build_trace(messages, self.n_sha_rows, self.sha_schedule)
-        messages512 = []
-        for call in b.sha512_calls:
-            blocks = np.zeros((len(call.blocks_half_wires), 16), dtype=np.uint64)
-            for bi, half_wires in enumerate(call.blocks_half_wires):
-                for wi in range(16):
-                    lo = int(vals[half_wires[2 * wi]])
-                    hi = int(vals[half_wires[2 * wi + 1]])
-                    blocks[bi, wi] = lo | (hi << 32)
-            messages512.append(blocks)
-        sha512_trace = sha512_chip.build_trace(
-            messages512, self.n_sha512_rows, self.sha512_schedule
-        )
-        counts = np.zeros(256, dtype=np.uint64)
-        for w in b.range_checked:
-            counts[int(vals[w]) & 0xFF] += 1
-        out = {
-            "cpu": cpu_trace, "sha": sha_trace, "sha512": sha512_trace,
-        }
+        if not hasattr(self, "_gathers"):
+            self._gathers = self._trace_gathers()
+        g = self._gathers
+        cpu_trace = cpu.build_trace(b.rows, vals, self.n_cpu_rows, g["cpu"])
+        out = {"cpu": cpu_trace}
+        if self.sha_air is not None:
+            messages = [vals[idx].astype(np.uint32) for idx in g["sha"]]
+            out["sha"] = sha_chip.build_trace(
+                messages, self.n_sha_rows, self.sha_schedule
+            )
+        if self.sha512_air is not None:
+            messages512 = []
+            for idx in g["sha512"]:
+                halves = vals[idx]  # (nblk, 32) (lo, hi) interleaved
+                messages512.append(
+                    halves[:, 0::2] | (halves[:, 1::2] << np.uint64(32))
+                )
+            out["sha512"] = sha512_chip.build_trace(
+                messages512, self.n_sha512_rows, self.sha512_schedule
+            )
+        counts = np.bincount(
+            (vals[g["range"]] & np.uint64(0xFF)).astype(np.int64), minlength=256
+        ).astype(np.uint64) if g["range"].size else np.zeros(256, dtype=np.uint64)
         if self.pos_air is not None:
             from ..chips import poseidon as pos_chip
 
@@ -1127,12 +1069,12 @@ class CompiledCircuit:
             from ..chips import range16 as range16_chip
 
             sigs = []
-            for call in b.ed_calls:
-                mlen = int(vals[call.len_wire])
+            for pk_idx, sig_idx, msg_idx, len_wire in g["ed"]:
+                mlen = int(vals[len_wire])
                 sigs.append(ed_chip.SigWitness(
-                    pubkey=bytes(int(vals[w]) & 0xFF for w in call.pubkey_wires),
-                    msg=bytes(int(vals[w]) & 0xFF for w in call.msg_wires[:mlen]),
-                    signature=bytes(int(vals[w]) & 0xFF for w in call.sig_wires),
+                    pubkey=vals[pk_idx].astype(np.uint8).tobytes(),
+                    msg=vals[msg_idx[:mlen]].astype(np.uint8).tobytes(),
+                    signature=vals[sig_idx].astype(np.uint8).tobytes(),
                 ))
             ed_trace = ed_chip.build_trace(self.ed_air, sigs)
             r16, r8 = ed_chip.range_counts(self.ed_air, ed_trace)
@@ -1154,8 +1096,12 @@ class CompiledCircuit:
 
     # -- proving -----------------------------------------------------------
     def airs(self) -> List:
-        """The proof system's tables, in order."""
-        airs = [self.cpu_air, self.sha_air, self.sha512_air]
+        """The proof system's tables, in order (empty tables omitted)."""
+        airs = [self.cpu_air]
+        if self.sha_air is not None:
+            airs.append(self.sha_air)
+        if self.sha512_air is not None:
+            airs.append(self.sha512_air)
         if self.pos_air is not None:
             airs.append(self.pos_air)
         if self.ed_air is not None:
@@ -1163,7 +1109,11 @@ class CompiledCircuit:
         return airs + [self.bytes_air]
 
     def _table_names(self) -> List[str]:
-        names = ["cpu", "sha", "sha512"]
+        names = ["cpu"]
+        if self.sha_air is not None:
+            names.append("sha")
+        if self.sha512_air is not None:
+            names.append("sha512")
         if self.pos_air is not None:
             names.append("pos")
         if self.ed_air is not None:
@@ -1203,10 +1153,11 @@ class CompiledCircuit:
         from ..proof import stark
 
         cfg = cfg or stark.StarkConfig()
-        sizes = {
-            "cpu": self.n_cpu_rows, "sha": self.n_sha_rows,
-            "sha512": self.n_sha512_rows, "bytes": bytes_chip.N_ROWS,
-        }
+        sizes = {"cpu": self.n_cpu_rows, "bytes": bytes_chip.N_ROWS}
+        if self.sha_air is not None:
+            sizes["sha"] = self.n_sha_rows
+        if self.sha512_air is not None:
+            sizes["sha512"] = self.n_sha512_rows
         if self.pos_air is not None:
             sizes["pos"] = self.n_pos_rows
         if self.ed_air is not None:

@@ -38,6 +38,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bsx_grind.argtypes = [p64, p64, u64, u64]
     lib.bsx_grind.restype = u64
     lib.bsx_merkle_climb.argtypes = [p64, p64, u64, u64, p64]
+    lib.bsx_merkle_tree.argtypes = [p64, u64, u64, u64, p64]
     return lib
 
 
@@ -73,6 +74,25 @@ def hash_two_to_one(left: Sequence[int], right: Sequence[int]) -> List[int]:
 def grind(state: Sequence[int], pending: Sequence[int], pow_bits: int) -> int:
     return int(LIB.bsx_grind(_arr(state), _arr(pending or [0]),
                              len(pending), pow_bits))
+
+
+def merkle_tree(rows, n: int, w: int, n_levels: int):
+    """rows: contiguous numpy uint64 (n, w). Returns a flat numpy uint64
+    digest buffer: layer 0 (n*4), layer 1 (n/2*4), ... cap ((n>>lv)*4)."""
+    import numpy as np
+
+    total = 0
+    m = n
+    for _ in range(n_levels + 1):
+        total += m * 4
+        m //= 2
+    out = np.empty(total, dtype=np.uint64)
+    LIB.bsx_merkle_tree(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), n, w,
+        n_levels,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out
 
 
 def merkle_climb(leaf_digest: Sequence[int], siblings: Sequence[Sequence[int]],

@@ -117,6 +117,42 @@ uint64_t bsx_grind(const uint64_t* state, const uint64_t* pending,
   }
 }
 
+// hash n rows of w field elements each (leaf layer), then build the
+// binary tree for n_levels halvings. layers_out layout: layer 0 digests
+// (n*4), then layer 1 (n/2*4), ..., down to the cap layer
+// ((n>>n_levels)*4). Caller provides the full buffer. This is the host
+// prover's Merkle-cap commitment path (proof/merkle_cap.py) — the batched
+// XLA path stays on TPU, where the compiler is fast and the MXU does the
+// MDS.
+void bsx_merkle_tree(const uint64_t* rows, uint64_t n, uint64_t w,
+                     uint64_t n_levels, uint64_t* layers_out) {
+  for (uint64_t k = 0; k < n; k++) {
+    uint64_t s[WIDTH] = {0};
+    const uint64_t* row = rows + k * w;
+    for (uint64_t off = 0; off < w; off += RATE) {
+      uint64_t c = w - off < RATE ? w - off : RATE;
+      for (uint64_t i = 0; i < c; i++) s[i] = row[off + i];
+      permute(s);
+    }
+    std::memcpy(layers_out + k * 4, s, 4 * sizeof(uint64_t));
+  }
+  uint64_t* prev = layers_out;
+  uint64_t prev_n = n;
+  for (uint64_t lvl = 0; lvl < n_levels; lvl++) {
+    uint64_t* cur = prev + prev_n * 4;
+    uint64_t cur_n = prev_n / 2;
+    for (uint64_t k = 0; k < cur_n; k++) {
+      uint64_t s[WIDTH] = {0};
+      std::memcpy(s, prev + (2 * k) * 4, 4 * sizeof(uint64_t));
+      std::memcpy(s + 4, prev + (2 * k + 1) * 4, 4 * sizeof(uint64_t));
+      permute(s);
+      std::memcpy(cur + k * 4, s, 4 * sizeof(uint64_t));
+    }
+    prev = cur;
+    prev_n = cur_n;
+  }
+}
+
 // verify a Merkle path of two-to-one hashes: digest(4) + siblings(depth*4)
 // + index bits (LSB-first: bit set => current node is the right child).
 // Writes the resulting root digest (4) to out.

@@ -159,8 +159,28 @@ def _from_buckets(buckets):
     return jnp.stack([lo, hi], axis=-1)
 
 
-def _mds_layer(state, mds=None):
-    """state: (..., 12, 2) -> (..., 12, 2); out[i] = sum_j mds[i,j]*state[j]."""
+@functools.lru_cache(maxsize=None)
+def _mds_field_np():
+    """(12, 12, 2) u32-limb MDS matrix for the field-arithmetic path."""
+    m = np.array(mds_matrix(), dtype=np.uint64)
+    return gl.from_int_np(m)
+
+
+def _mds_layer_field(state):
+    """Plain field-arithmetic MDS: out[i] = sum_j mds[i,j] * state[j].
+
+    One broadcasted gl.mul over (..., 12, 12, 2) + a log-depth modular add
+    reduction. The CPU path: XLA:CPU lowers the int8 einsum of
+    _mds_layer_mxu to a scalar loop that is ~100x slower than this."""
+    prod = gl.mul(state[..., None, :, :], jnp.asarray(_mds_field_np()))
+    # prod: (..., 12 out-lanes, 12 j-terms, 2); reduce the j axis (-2)
+    x = gl.add(prod[..., 0::2, :], prod[..., 1::2, :])  # 12 -> 6
+    x = gl.add(x[..., 0::2, :], x[..., 1::2, :])        # 6 -> 3
+    return gl.add(gl.add(x[..., 0, :], x[..., 1, :]), x[..., 2, :])
+
+
+def _mds_layer_mxu(state):
+    """int8-limb einsum MDS (feeds the MXU on TPU)."""
     limbs = _to_limbs(state)
     buckets = jnp.einsum(
         "...jl,ijls->...is",
@@ -169,6 +189,35 @@ def _mds_layer(state, mds=None):
         preferred_element_type=jnp.int32,
     )
     return _from_buckets(buckets)
+
+
+def _mds_layer_f32(state):
+    """float32-limb einsum MDS for CPU: bucket sums stay exact (7-bit
+    limbs: max bucket < 2^21 < 2^24 f32 mantissa) and XLA:CPU lowers the
+    f32 einsum to a real SGEMM — the int8 einsum falls off Eigen's fast
+    paths there (scalar loops, ~1000x slower)."""
+    limbs = _to_limbs(state).astype(jnp.float32)
+    buckets = jnp.einsum(
+        "...jl,ijls->...is",
+        limbs,
+        _mds_limb_tensor().astype(np.float32),
+    ).astype(jnp.int32)
+    return _from_buckets(buckets)
+
+
+def _mds_layer(state, mds=None):
+    """state: (..., 12, 2) -> (..., 12, 2). Backend-dispatched at trace
+    time: the int8 einsum feeds the MXU on TPU; XLA:CPU lowers that einsum
+    pathologically (both compile AND runtime), so CPU uses the plain
+    field-arithmetic MDS. CPU callers must keep permutation *instance
+    counts* low (shared loop bodies — see merkle_cap.device_tree_root)
+    because XLA:CPU compile time is superlinear in graph size; the CPU
+    runtime hot path is the native C++ tree builder anyway."""
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = True
+    return _mds_layer_mxu(state) if on_tpu else _mds_layer_f32(state)
 
 
 def _permute_impl(state: jnp.ndarray) -> jnp.ndarray:
@@ -236,8 +285,36 @@ def _unroll() -> bool:
         return True
 
 
+def _permute_scan_field(state: jnp.ndarray) -> jnp.ndarray:
+    """Scan body with the field-arithmetic MDS: the big-batch CPU path —
+    one ~20 s compile, then memory-bandwidth runtime (the einsum MDS
+    lowers to a scalar loop on XLA:CPU, ~100x slower at runtime)."""
+    rc, _ = _device_constants()
+    rc = jnp.asarray(rc)
+    half = FULL_ROUNDS // 2
+
+    def full_round(s, r):
+        s = gl.add(s, rc[r])
+        s = _sbox(s)
+        return _mds_layer_field(s), None
+
+    def partial_round(s, r):
+        s = gl.add(s, rc[r])
+        lane0 = _sbox(s[..., 0:1, :])
+        s = jnp.concatenate([lane0, s[..., 1:, :]], axis=-2)
+        return _mds_layer_field(s), None
+
+    s, _ = jax.lax.scan(full_round, state, jnp.arange(half))
+    s, _ = jax.lax.scan(partial_round, s,
+                        jnp.arange(half, half + PARTIAL_ROUNDS))
+    s, _ = jax.lax.scan(full_round, s,
+                        jnp.arange(half + PARTIAL_ROUNDS, N_ROUNDS))
+    return s
+
+
 _permute_jit = jax.jit(_permute_impl)
 _permute_scan_jit = jax.jit(_permute_scan)
+_permute_scan_field_jit = jax.jit(_permute_scan_field)
 
 # Batch size at/above which the jitted permutation is used. Small batches run
 # eagerly: XLA-CPU compiles this graph slowly, and eager per-op dispatch is
@@ -281,9 +358,22 @@ def permute(state: jnp.ndarray) -> jnp.ndarray:
             from .pallas import poseidon as ppos
 
             return ppos.permute(state)
-        # eager big-batch on CPU: the unrolled jit is the long-standing
-        # cached artifact (compile paid once, persisted in .jax_cache)
-        return _permute_jit(state)
+        native = _get_native()
+        if native:
+            # big-batch on CPU: the C++ kernel. XLA:CPU handles this class
+            # of u32-limb hash batch pathologically (compile-time blowups
+            # on unrolled/field bodies, scalar-loop lowerings on the int8
+            # einsum) — measured 100-1000x slower than native.
+            shape = state.shape
+            ints = gl.to_int(np.asarray(state)).reshape(-1, WIDTH)
+            ints = np.ascontiguousarray(ints)
+            native.LIB.bsx_poseidon_permute_batch(
+                ints.ctypes.data_as(
+                    __import__("ctypes").POINTER(__import__("ctypes").c_uint64)),
+                ints.shape[0],
+            )
+            return jnp.asarray(gl.from_int_np(ints).reshape(shape))
+        return _permute_scan_field_jit(state)
     return _permute_impl(state)  # eager small-batch: per-op dispatch, no jit
 
 

@@ -25,6 +25,7 @@ from jax.experimental.shard_map import shard_map
 from ..field import goldilocks as gl
 from ..field import ntt as nttmod
 from ..ops import poseidon as pos
+from ..proof import merkle_cap
 
 
 def make_mesh(n_data: int, n_col: int, devices=None) -> Mesh:
@@ -68,22 +69,17 @@ def sharded_commit(traces: jnp.ndarray, mesh: Mesh, rate_bits: int = 3,
         x = jnp.moveaxis(x, 2, 0)  # (n_col, B, C_local, rows_per, 2)
         x = jax.lax.all_to_all(x, "col", split_axis=0, concat_axis=0, tiled=False)
         # now x: (n_col, B, C_local, rows_per, 2) where axis 0 indexes the
-        # source shard -> stack as full columns of the local row chunk
-        x = jnp.moveaxis(x, 0, 2)  # (B, C_local, n_col, rows_per, 2)
-        x = x.reshape(B, C_local * n_col, rows_per, 2)
+        # SOURCE shard; global column index = src * C_local + own_c, so the
+        # flatten must be source-major (jax >= 0.9 all_to_all layout)
+        x = jnp.moveaxis(x, 0, 1)  # (B, n_col, C_local, rows_per, 2)
+        x = x.reshape(B, n_col * C_local, rows_per, 2)
         rows = jnp.moveaxis(x, 1, 2)  # (B, rows_per, C_total, 2)
         digests = pos.hash_no_pad(rows)  # (B, rows_per, 4, 2)
-        # local subtree down to one root per device
-        cur = digests
-        while cur.shape[1] > 1:
-            cur = pos.hash_two_to_one(cur[:, 0::2], cur[:, 1::2])
-        local_root = cur[:, 0]  # (B, 4, 2)
+        # local subtree down to one root per device (single-instance loop)
+        local_root = merkle_cap.device_tree_root(digests)[:, 0]  # (B, 4, 2)
         all_roots = jax.lax.all_gather(local_root, "col")  # (n_col, B, 4, 2)
         all_roots = jnp.moveaxis(all_roots, 0, 1)  # (B, n_col, 4, 2)
-        cur = all_roots
-        while cur.shape[1] > (1 << cap_height):
-            cur = pos.hash_two_to_one(cur[:, 0::2], cur[:, 1::2])
-        return cur  # (B, 2^cap_height, 4, 2)
+        return merkle_cap.device_tree_root(all_roots, cap_height)
 
     kwargs = dict(
         mesh=mesh,
@@ -109,7 +105,4 @@ def replicated_root_check(traces: jnp.ndarray, rate_bits: int = 3) -> jnp.ndarra
     lde = jax.vmap(lambda c: _local_commit(c, rate_bits))(traces)
     rows = jnp.moveaxis(lde, 1, 2)  # (B, N, C, 2)
     digests = pos.hash_no_pad(rows)
-    cur = digests
-    while cur.shape[1] > 1:
-        cur = pos.hash_two_to_one(cur[:, 0::2], cur[:, 1::2])
-    return cur  # (B, 1, 4, 2)
+    return merkle_cap.device_tree_root(digests)  # (B, 1, 4, 2)

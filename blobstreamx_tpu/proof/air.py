@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..field import goldilocks as gl
@@ -305,8 +306,13 @@ class AirBuilder:
     def public(self, i: int) -> Elem:
         return self.const(self._public[i])
 
-    def const(self, c: int) -> Elem:
-        return Elem(self.b.const(int(c)), self.b)
+    def const(self, c) -> Elem:
+        """int -> backend constant; a non-int backend handle (e.g. an
+        in-circuit challenge component, proof/recursion.py) passes through
+        to the backend, which decides how to lift it."""
+        if isinstance(c, (int, np.integer)):
+            c = int(c)
+        return Elem(self.b.const(c), self.b)
 
     def ext_const(self, pair) -> ExtElem:
         return ExtElem(self.const(pair[0]), self.const(pair[1]))

@@ -53,11 +53,60 @@ class MerkleTree:
         return out
 
 
+def device_tree_root(digests: jnp.ndarray, cap_height: int = 0) -> jnp.ndarray:
+    """Reduce leaf digests (..., n, 4, 2) to the cap (..., 2^cap_height,
+    4, 2) on device with ONE permutation instance (lax.fori_loop with a
+    fixed-shape buffer; level l re-hashes the buffer front — log2(n)/2x
+    redundant hashes, traded for a compile-size win: XLA:CPU compile time
+    is superlinear in graph size, so per-level unrolled trees with one
+    permute instance each are pathological there)."""
+    import jax
+
+    n = digests.shape[-3]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n
+    levels = log_n - cap_height
+    if levels <= 0:
+        return digests
+
+    def body(_, buf):
+        h = pos.hash_two_to_one(buf[..., 0::2, :, :], buf[..., 1::2, :, :])
+        return jnp.concatenate([h, h], axis=-3)
+
+    buf = jax.lax.fori_loop(0, levels, body, digests)
+    return buf[..., : (1 << cap_height), :, :]
+
+
+def _build_tree_native(leaves_np: np.ndarray, cap_height: int) -> MerkleTree:
+    """Host C++ tree build (native/bsx_merkle_tree): ~1-2 us per hash vs
+    the XLA u32-limb path which is both compile- and dispatch-bound on
+    small CPU hosts. leaves_np: (n, w) uint64."""
+    from .. import native
+
+    n, w = leaves_np.shape
+    n_levels = (n.bit_length() - 1) - cap_height
+    flat = native.merkle_tree(np.ascontiguousarray(leaves_np), n, w, n_levels)
+    layers = []
+    off = 0
+    m = n
+    for _ in range(n_levels + 1):
+        layers.append(gl.from_int_np(flat[off:off + m * 4].reshape(m, 4)))
+        off += m * 4
+        m //= 2
+    return MerkleTree(layers=layers, cap_height=cap_height)
+
+
 def build_tree(leaves: jnp.ndarray, cap_height: int = 0) -> MerkleTree:
     """leaves: (n, w, 2) field-element rows; n a power of two >= 2^cap_height."""
     n = leaves.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n and cap_height <= log_n
+    if not pos._on_tpu():
+        from .. import native
+
+        if native.available():
+            return _build_tree_native(gl.to_int(np.asarray(leaves)),
+                                      cap_height)
     digests = pos.hash_no_pad(leaves)  # (n, 4, 2)
     layers = [np.asarray(digests)]
     cur = digests

@@ -114,12 +114,25 @@ def bus_aux_width(air: Air) -> int:
 
 
 def _fingerprint(builder: AirBuilder, inter, gamma_pair) -> ExtElem:
-    """channel + gamma*arg0 + gamma^2*arg1 + ... as an ExtElem."""
+    """channel + gamma*arg0 + gamma^2*arg1 + ... as an ExtElem.
+
+    gamma_pair is an int pair on the native prover/verifier (fast path:
+    gamma powers fold into host constants) or a pair of backend handles
+    inside the recursive verifier (proof/recursion.py), where the powers
+    must be computed in-circuit."""
     acc = ExtElem.from_base(builder.const(inter.channel))
-    gp = (1, 0)
-    for a in inter.args:
-        gp = F2.mul(gp, gamma_pair)
-        acc = acc + builder.ext_const(gp) * a
+    if isinstance(gamma_pair[0], int):
+        gp = (1, 0)
+        for a in inter.args:
+            gp = F2.mul(gp, gamma_pair)
+            acc = acc + builder.ext_const(gp) * a
+    else:
+        gamma = ExtElem(builder.const(gamma_pair[0]),
+                        builder.const(gamma_pair[1]))
+        gp = builder.ext_const((1, 0))
+        for a in inter.args:
+            gp = gp * gamma
+            acc = acc + gp * a
     return acc
 
 

@@ -12,7 +12,7 @@ import argparse
 import json
 import sys
 
-from ..circuits.input import StepInputFetcher
+from ..circuits.input import DEFAULT_FIXTURES, StepInputFetcher
 
 
 def cmd_genesis(args):
@@ -59,11 +59,11 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("genesis")
     g.add_argument("--block", type=int, required=True)
-    g.add_argument("--fixtures", default="/root/reference/circuits/fixtures/mocha-4")
+    g.add_argument("--fixtures", default=DEFAULT_FIXTURES)
     g.set_defaults(fn=cmd_genesis)
     f = sub.add_parser("fetch")
     f.add_argument("--block", type=int, required=True)
-    f.add_argument("--fixtures", default="/root/reference/circuits/fixtures/mocha-4")
+    f.add_argument("--fixtures", default=DEFAULT_FIXTURES)
     f.set_defaults(fn=cmd_fetch)
     r = sub.add_parser("relay")
     r.add_argument("--request-id", default="local")

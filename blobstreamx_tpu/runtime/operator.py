@@ -12,6 +12,7 @@ talks to Tendermint RPC and the Succinct platform.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -91,6 +92,7 @@ class BlobstreamXOperator:
         self.header_range_fid = header_range_function_id
         self.next_header_fid = next_header_function_id
         self.config = config
+        self._commit_lock = threading.Lock()
 
     # -- request encoding (reference bin/blobstreamx.rs:25-27) -------------
     def _header_range_input(self, trusted_block: int, trusted_header: bytes,
@@ -144,16 +146,32 @@ class BlobstreamXOperator:
         return rid
 
     def run(self, max_iterations: int = None, iteration_timeout: float = 180.0):
-        """Reference run loop (:304-321): bounded iterations for tests."""
+        """Reference run loop (bin/blobstreamx.rs:304-321): each iteration is
+        hard-bounded by `iteration_timeout` (reference's 3-minute tokio
+        timeout, :39,308-316) — a stuck iteration is abandoned and the loop
+        moves on instead of blocking the light client forever. The abandoned
+        iteration runs on a daemon thread (Python can't cancel compute), but
+        its contract commits are serialized through `_commit_lock` so a
+        late-finishing zombie can't race a newer iteration."""
         i = 0
         while max_iterations is None or i < max_iterations:
-            t0 = time.time()
-            try:
-                self.process_iteration()
-            except Exception:
-                log.exception("iteration failed; continuing")
-            if time.time() - t0 > iteration_timeout:
-                log.warning("iteration exceeded timeout")
+            done = threading.Event()
+            result: dict = {}
+
+            def _iter(done=done, result=result):
+                try:
+                    with self._commit_lock:
+                        result["rid"] = self.process_iteration()
+                except Exception:
+                    log.exception("iteration failed; continuing")
+                finally:
+                    done.set()
+
+            t = threading.Thread(target=_iter, daemon=True)
+            t.start()
+            if not done.wait(iteration_timeout):
+                log.error("iteration %d exceeded %.0fs timeout; abandoning",
+                          i, iteration_timeout)
             i += 1
             if max_iterations is None:
                 time.sleep(self.config.loop_delay_secs)

@@ -6,6 +6,8 @@ import pytest
 from blobstreamx_tpu.proof import stark, system
 from blobstreamx_tpu.proof.air import Air
 
+pytestmark = pytest.mark.proof  # tiny-config proving tier (see pytest.ini)
+
 CFG = stark.StarkConfig(
     rate_bits=3, cap_height=1, num_query_rounds=8, pow_bits=4, final_poly_bits=2
 )

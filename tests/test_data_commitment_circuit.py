@@ -12,7 +12,7 @@ import pytest
 from blobstreamx_tpu.circuits.data_commitment import DataCommitmentCircuit
 from blobstreamx_tpu.proof import stark
 
-FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+from blobstreamx_tpu.circuits.input import DEFAULT_FIXTURES as FIXTURES
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXTURES), reason="reference fixtures not mounted"
 )

@@ -9,6 +9,8 @@ from blobstreamx_tpu.field import ntt as nttmod
 from blobstreamx_tpu.proof import fri
 from blobstreamx_tpu.proof.transcript import Transcript
 
+pytestmark = pytest.mark.proof  # tiny-config proving tier (see pytest.ini)
+
 RNG = np.random.default_rng(4)
 
 CFG = fri.FriConfig(rate_bits=2, cap_height=1, num_query_rounds=10, pow_bits=4, final_poly_bits=2)

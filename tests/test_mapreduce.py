@@ -15,7 +15,7 @@ from blobstreamx_tpu.circuits.input import InputDataFetcher
 from blobstreamx_tpu.parallel import mapreduce as mr
 from blobstreamx_tpu.proof import stark
 
-FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+from blobstreamx_tpu.circuits.input import DEFAULT_FIXTURES as FIXTURES
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXTURES), reason="reference fixtures not mounted"
 )

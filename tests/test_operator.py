@@ -15,7 +15,7 @@ from blobstreamx_tpu.runtime.operator import (
 )
 from blobstreamx_tpu.runtime.service import LocalProverService, RegisteredFunction
 
-FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+from blobstreamx_tpu.circuits.input import DEFAULT_FIXTURES as FIXTURES
 HR_FID = bytes.fromhex("aa" * 32)
 NH_FID = bytes.fromhex("bb" * 32)
 

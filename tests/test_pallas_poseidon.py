@@ -9,6 +9,8 @@ from blobstreamx_tpu.field import goldilocks as gl
 from blobstreamx_tpu.ops import poseidon as pos
 from blobstreamx_tpu.ops.pallas import poseidon as ppos
 
+pytestmark = pytest.mark.proof  # pallas-interpret on CPU: minutes per case
+
 
 @pytest.mark.parametrize("batch", [
     7,

@@ -3,8 +3,11 @@
 import hashlib
 
 import numpy as np
+import pytest
 
 from blobstreamx_tpu.ops.pallas import sha256 as psha
+
+pytestmark = pytest.mark.proof  # pallas-interpret on CPU: minutes per case
 
 
 def _check(B, L, seed):

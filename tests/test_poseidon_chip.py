@@ -8,6 +8,8 @@ from blobstreamx_tpu.frontend.builder import CircuitBuilder, Variable
 from blobstreamx_tpu.ops import poseidon as pos
 from blobstreamx_tpu.proof import stark, system
 
+pytestmark = pytest.mark.proof  # tiny-config proving tier (see pytest.ini)
+
 CFG = stark.StarkConfig(
     rate_bits=3, cap_height=1, num_query_rounds=8, pow_bits=4, final_poly_bits=2
 )

@@ -14,6 +14,8 @@ from blobstreamx_tpu.chips import sha512 as chip
 from blobstreamx_tpu.ops import sha512 as sha
 from blobstreamx_tpu.proof import stark, system
 
+pytestmark = pytest.mark.proof  # tiny-config proving tier (see pytest.ini)
+
 CFG = stark.StarkConfig(
     rate_bits=3, cap_height=1, num_query_rounds=8, pow_bits=4, final_poly_bits=2
 )

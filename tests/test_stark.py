@@ -7,6 +7,8 @@ from blobstreamx_tpu.field import goldilocks as gl
 from blobstreamx_tpu.proof import stark
 from blobstreamx_tpu.proof.air import Air
 
+pytestmark = pytest.mark.proof  # tiny-config proving tier (see pytest.ini)
+
 CFG = stark.StarkConfig(
     rate_bits=3, cap_height=1, num_query_rounds=12, pow_bits=4, final_poly_bits=2
 )

@@ -11,7 +11,7 @@ import pytest
 
 from blobstreamx_tpu.tendermint import ed25519, header as hdr, vote
 
-FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+from blobstreamx_tpu.circuits.input import DEFAULT_FIXTURES as FIXTURES
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXTURES), reason="reference fixtures not mounted"
 )

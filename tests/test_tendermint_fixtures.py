@@ -17,7 +17,7 @@ from blobstreamx_tpu.tendermint.header import (
     encode_data_root_tuple,
 )
 
-FIXTURES = "/root/reference/circuits/fixtures/mocha-4"
+from blobstreamx_tpu.circuits.input import DEFAULT_FIXTURES as FIXTURES
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXTURES), reason="reference fixtures not mounted"
