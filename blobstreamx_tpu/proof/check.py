@@ -178,6 +178,31 @@ def _message_term(channel, args, gamma, delta):
     return F2.inv(F2.add(delta, f))
 
 
+def _derive_challenges(traces: dict, publics) -> List[list]:
+    """Fiat-Shamir-style bus challenges bound to the witness itself: a
+    crafted witness cannot target them (they move whenever any trace cell
+    or public byte moves). Two independent (gamma, delta) pairs are sampled
+    so a single accidental collision cannot mask an unbalanced bus. Real
+    soundness still comes from prove+verify, where the challenges are drawn
+    from the transcript after commitment."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in sorted(traces):
+        h.update(name.encode())
+        arr = np.ascontiguousarray(np.asarray(traces[name], dtype=_U64))
+        h.update(arr.tobytes())
+    h.update(bytes(int(v) % 256 for v in publics))
+    seed = h.digest()
+    out = []
+    for i in range(2):
+        hi = hashlib.sha256(seed + bytes([i])).digest()
+        vals = [int.from_bytes(hi[8 * j:8 * j + 8], "big") % P
+                for j in range(4)]
+        out.append([(vals[0], vals[1]), (vals[2], vals[3])])
+    return out
+
+
 def witness_check(compiled, public_inputs: Dict[int, int],
                   verbose: bool = False) -> bool:
     """Full-system witness check for a CompiledCircuit: generate the
@@ -204,18 +229,19 @@ def witness_check(compiled, public_inputs: Dict[int, int],
             else:
                 return False
     publics = compiled.public_values(vals)
-    challenges = [(12345, 67890), (54321, 9876)]
-    total = (0, 0)
-    for name, air in zip(names, airs):
-        total = F2.add(total, bus_total_host(air, traces[name], challenges))
-    gamma, delta = challenges
-    for channel, args, sign in compiled.public_messages(publics):
-        term = _message_term(channel, args, gamma, delta)
-        if sign < 0:
-            term = F2.sub((0, 0), term)
-        total = F2.add(total, term)
-    if total != (0, 0):
-        if verbose:
-            print("[witness_check] bus balance failed")
-        return False
+    for challenges in _derive_challenges(traces, publics):
+        total = (0, 0)
+        for name, air in zip(names, airs):
+            total = F2.add(total, bus_total_host(air, traces[name],
+                                                 challenges))
+        gamma, delta = challenges
+        for channel, args, sign in compiled.public_messages(publics):
+            term = _message_term(channel, args, gamma, delta)
+            if sign < 0:
+                term = F2.sub((0, 0), term)
+            total = F2.add(total, term)
+        if total != (0, 0):
+            if verbose:
+                print("[witness_check] bus balance failed")
+            return False
     return ok

@@ -93,6 +93,12 @@ class BlobstreamXOperator:
         self.next_header_fid = next_header_function_id
         self.config = config
         self._commit_lock = threading.Lock()
+        # bumped by run() for every new iteration; a zombie iteration from
+        # an older generation has its commit dropped (reference's tokio
+        # timeout cancels the task outright; Python can't cancel compute,
+        # so instead the zombie finishes its RPC/prove work lock-free and
+        # only its final commit is fenced)
+        self._generation = 0
 
     # -- request encoding (reference bin/blobstreamx.rs:25-27) -------------
     def _header_range_input(self, trusted_block: int, trusted_header: bytes,
@@ -104,8 +110,29 @@ class BlobstreamXOperator:
                            trusted_header: bytes) -> bytes:
         return trusted_block.to_bytes(8, "big") + trusted_header
 
+    # -- commit fencing ----------------------------------------------------
+    def _try_commit(self, generation: Optional[int], latest_seen: int,
+                    do_commit) -> bool:
+        """Serialize contract commits and drop stale ones: a commit is
+        applied only if (a) no newer iteration has started since this one
+        (generation fence) and (b) the contract's latest_block is still the
+        one this iteration planned against (staleness check)."""
+        with self._commit_lock:
+            if generation is not None and generation != self._generation:
+                log.warning("dropping zombie commit (generation %d != %d)",
+                            generation, self._generation)
+                return False
+            if self.contract.latest_block != latest_seen:
+                log.warning("dropping stale commit: contract moved "
+                            "(%d != planned %d)", self.contract.latest_block,
+                            latest_seen)
+                return False
+            do_commit()
+            return True
+
     # -- one loop iteration (reference :177-301) ---------------------------
-    def process_iteration(self) -> Optional[str]:
+    def process_iteration(self, generation: Optional[int] = None
+                          ) -> Optional[str]:
         c = self.contract
         latest = c.latest_block
         trusted_header = c.block_height_to_header_hash[latest]
@@ -129,7 +156,9 @@ class BlobstreamXOperator:
                 return rid
             next_header = req.output_bytes[:32]
             commitment = req.output_bytes[32:64]
-            c.commit_next_header(latest, next_header, commitment)
+            self._try_commit(
+                generation, latest,
+                lambda: c.commit_next_header(latest, next_header, commitment))
         else:
             log.info("skip %d -> %d", latest, target)
             rid = self.service.submit_request(
@@ -142,7 +171,10 @@ class BlobstreamXOperator:
                 return rid
             target_header = req.output_bytes[:32]
             commitment = req.output_bytes[32:64]
-            c.commit_header_range(latest, target, target_header, commitment)
+            self._try_commit(
+                generation, latest,
+                lambda: c.commit_header_range(latest, target, target_header,
+                                              commitment))
         return rid
 
     def run(self, max_iterations: int = None, iteration_timeout: float = 180.0):
@@ -150,18 +182,21 @@ class BlobstreamXOperator:
         hard-bounded by `iteration_timeout` (reference's 3-minute tokio
         timeout, :39,308-316) — a stuck iteration is abandoned and the loop
         moves on instead of blocking the light client forever. The abandoned
-        iteration runs on a daemon thread (Python can't cancel compute), but
-        its contract commits are serialized through `_commit_lock` so a
-        late-finishing zombie can't race a newer iteration."""
+        iteration keeps running on a daemon thread (Python can't cancel
+        compute) but WITHOUT holding any lock, so new iterations make
+        progress immediately; a zombie's late commit is dropped by the
+        generation fence in `_try_commit` (it can never overwrite the work
+        of a newer iteration)."""
         i = 0
         while max_iterations is None or i < max_iterations:
             done = threading.Event()
             result: dict = {}
+            self._generation = i
+            gen = i
 
-            def _iter(done=done, result=result):
+            def _iter(done=done, result=result, gen=gen):
                 try:
-                    with self._commit_lock:
-                        result["rid"] = self.process_iteration()
+                    result["rid"] = self.process_iteration(generation=gen)
                 except Exception:
                     log.exception("iteration failed; continuing")
                 finally:

@@ -49,6 +49,7 @@ contract StarkGateway is ISuccinctGateway {
 
     error NotAllowed();
     error NotFulfilled();
+    error AlreadyFulfilled();
 
     constructor() {
         owner = msg.sender;
@@ -80,6 +81,11 @@ contract StarkGateway is ISuccinctGateway {
     ///         sha256(functionId ‖ sha256(input) ‖ sha256(output) ‖
     ///         proofRoot) where proofRoot is the Poseidon digest chain over
     ///         the serialized SystemProof.
+    /// @dev Write-once: a second fulfill for the same (functionId,
+    ///      inputHash) reverts, so the content-addressed commitment an
+    ///      auditor reads can never be swapped after consumers saw it.
+    ///      Replacing a bad fulfillment requires an explicit, auditable
+    ///      owner action (`revoke` + re-fulfill).
     function fulfill(
         bytes32 functionId,
         bytes calldata input,
@@ -88,13 +94,27 @@ contract StarkGateway is ISuccinctGateway {
     ) external {
         if (!allowedProvers[msg.sender]) revert NotAllowed();
         bytes32 inputHash = sha256(input);
+        bytes32 key = keccak256(abi.encodePacked(functionId, inputHash));
+        if (fulfillments[key].proofCommitment != bytes32(0)) {
+            revert AlreadyFulfilled();
+        }
         bytes32 outputHash = sha256(output);
         bytes32 commitment = sha256(
             abi.encodePacked(functionId, inputHash, outputHash, proofRoot)
         );
-        fulfillments[keccak256(abi.encodePacked(functionId, inputHash))] =
-            Fulfillment(outputHash, commitment, output);
+        fulfillments[key] = Fulfillment(outputHash, commitment, output);
         emit ProofFulfilled(functionId, inputHash, outputHash, commitment);
+    }
+
+    /// @notice Owner-only escape hatch: clear a fulfillment (e.g. after an
+    ///         attributable-fraud finding) so an honest relayer can
+    ///         re-fulfill. Emits nothing new; the old commitment stays in
+    ///         the ProofFulfilled event log for auditors.
+    function revoke(bytes32 functionId, bytes32 inputHash)
+        external
+        onlyOwner
+    {
+        delete fulfillments[keccak256(abi.encodePacked(functionId, inputHash))];
     }
 
     /// @inheritdoc ISuccinctGateway

@@ -1,4 +1,8 @@
-"""Sharded commit pipeline on the 8-virtual-device CPU mesh."""
+"""Sharded commit pipeline on the 8-virtual-device CPU mesh.
+
+Proof tier: 8-virtual-device shard_map compilation takes minutes on a
+2-vCPU host, which blew the fast tier's <2 min budget (VERDICT r4 Weak #2).
+"""
 
 import numpy as np
 import jax
@@ -6,6 +10,8 @@ import pytest
 
 from blobstreamx_tpu.field import goldilocks as gl
 from blobstreamx_tpu.parallel import mesh as pmesh
+
+pytestmark = pytest.mark.proof
 
 RNG = np.random.default_rng(7)
 

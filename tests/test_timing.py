@@ -3,6 +3,8 @@ layer SURVEY.md §5 lists as net-new vs the reference's RUST_LOG story."""
 
 import time
 
+import pytest
+
 from blobstreamx_tpu.utils import timing
 
 
@@ -52,6 +54,7 @@ def test_disabled_is_noop():
         timing.enable(True)
 
 
+@pytest.mark.proof
 def test_prove_system_emits_phases():
     """Tiny single-table proof records the prover phase tree."""
     import numpy as np
