@@ -42,16 +42,62 @@ def cmd_fetch(args):
 
 def cmd_relay(args):
     """One-shot relay of an existing proof request (reference
-    bin/local_relay.rs): load output.json and print the commit call data."""
+    bin/local_relay.rs:60-80): load output.json, build the commit
+    transaction, sign it (EIP-155), and either submit it over JSON-RPC
+    (--rpc-url) or print the signed raw transaction for out-of-band
+    submission."""
+    from . import ethtx as et
+
     with open(args.output) as f:
         out = json.load(f)
     data = out["data"]
-    print(json.dumps({
+    input_hex = data["input"][2:] if data["input"].startswith("0x") \
+        else data["input"]
+    input_bytes = bytes.fromhex(input_hex)
+    if len(input_bytes) == 48:  # trusted_block(8) ‖ header(32) ‖ target(8)
+        method = "commitHeaderRange"
+        calldata = et.commit_calldata(
+            et.SEL_COMMIT_HEADER_RANGE,
+            int.from_bytes(input_bytes[40:48], "big"))
+    else:  # trusted_block(8) ‖ header(32)
+        method = "commitNextHeader"
+        calldata = et.commit_calldata(
+            et.SEL_COMMIT_NEXT_HEADER,
+            int.from_bytes(input_bytes[0:8], "big"))
+
+    result = {
         "request": args.request_id,
         "input": data["input"],
         "output": data["output"],
-        "relay": "commitHeaderRange" if len(data["input"]) == 2 + 96 else "commitNextHeader",
-    }, indent=2))
+        "relay": method,
+        "calldata": "0x" + calldata.hex(),
+    }
+    if args.private_key:
+        priv = bytes.fromhex(args.private_key.replace("0x", ""))
+        contract = bytes.fromhex(args.contract_address.replace("0x", ""))
+        if args.rpc_url:
+            import urllib.request
+
+            def transport(payload):
+                req = urllib.request.Request(
+                    args.rpc_url, data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=30) as resp:
+                    return json.load(resp)
+
+            client = et.EthRpcClient(transport)
+            relayer = et.LocalRelayer(client, priv, contract, args.chain_id)
+            result.update(relayer.relay(calldata))
+        else:
+            tx = et.Transaction(
+                nonce=args.nonce, gas_price=args.gas_price,
+                gas_limit=500_000, to=contract, value=0, data=calldata,
+                chain_id=args.chain_id)
+            et.sign_tx(tx, priv)
+            result["raw"] = "0x" + tx.raw().hex()
+            result["tx_hash"] = "0x" + tx.tx_hash().hex()
+            result["from"] = "0x" + et.privkey_to_address(priv).hex()
+    print(json.dumps(result, indent=2))
 
 
 def main(argv=None):
@@ -68,6 +114,14 @@ def main(argv=None):
     r = sub.add_parser("relay")
     r.add_argument("--request-id", default="local")
     r.add_argument("--output", default="output.json")
+    r.add_argument("--private-key", default=None,
+                   help="hex key; when set, sign the commit tx")
+    r.add_argument("--contract-address", default="00" * 20)
+    r.add_argument("--chain-id", type=int, default=11155111)
+    r.add_argument("--rpc-url", default=None,
+                   help="JSON-RPC endpoint; when set, submit the tx")
+    r.add_argument("--nonce", type=int, default=0)
+    r.add_argument("--gas-price", type=int, default=10**9)
     r.set_defaults(fn=cmd_relay)
     args = p.parse_args(argv)
     return args.fn(args)
