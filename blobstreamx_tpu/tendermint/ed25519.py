@@ -151,3 +151,33 @@ def verify_witness(public_key: bytes, msg: bytes, signature: bytes) -> VerifyWit
     sb = scalar_mul(s, BASE)
     rka = point_add(r, scalar_mul(k, a))
     return VerifyWitness(a=a, r=r, s=s, k=k, k512=k512, valid=point_equal(sb, rka))
+
+
+# ---------------------------------------------------------------------------
+# signing (RFC 8032 — for the synthetic test chain, testing/synthetic.py;
+# the reference repo never signs, but its fixtures were signed by real
+# validators: this is the "record fixtures" capability without a network)
+# ---------------------------------------------------------------------------
+
+def secret_expand(seed: bytes) -> Tuple[int, bytes]:
+    """seed (32B) -> (clamped scalar, hash prefix for nonces)."""
+    h = hashlib.sha512(seed).digest()
+    a = int.from_bytes(h[:32], "little")
+    a &= (1 << 254) - 8
+    a |= 1 << 254
+    return a, h[32:]
+
+def public_key(seed: bytes) -> bytes:
+    a, _ = secret_expand(seed)
+    return compress(scalar_mul(a, BASE))
+
+
+def sign(seed: bytes, msg: bytes) -> bytes:
+    """RFC 8032 Ed25519 signature (64 bytes)."""
+    a, prefix = secret_expand(seed)
+    A = public_key(seed)
+    r = int.from_bytes(hashlib.sha512(prefix + msg).digest(), "little") % L
+    R = compress(scalar_mul(r, BASE))
+    k = challenge_scalar(R, A, msg)
+    s = (r + k * a) % L
+    return R + s.to_bytes(32, "little")
