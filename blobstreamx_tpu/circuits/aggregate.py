@@ -29,6 +29,19 @@ parallel/mapreduce.py is the non-succinct fallback). A reduce node:
     root = sha256(0x01 ‖ root_L ‖ root_R); else the node passes the left
     child through unchanged (circuits/builder.rs:366-383),
   * emits the combined subchain as its own public output.
+
+Both child proofs are verified UNCONDITIONALLY, matching the reference
+(plonky2x mapreduce verifies every child proof; `enabled` gates only the
+linkage/combination logic). Completeness for boundary nodes whose right
+half lies past global_end holds because every node of the tree is proven,
+including disabled ones: a map leaf with batch_start >= global_end proves
+the empty-range pass-through statement (clamped end == start,
+circuits/map_job.py), and a reduce node whose children are both disabled
+passes its (disabled) left child through — these are the canonical
+"padding proofs". MapReduceProver(succinct=True) proves all
+nb_map_jobs leaves regardless of range, exactly like the reference's
+NB_MAP_JOBS const generic. Tested incl. the disabled-right boundary case
+in tests/test_aggregate.py.
 """
 
 from __future__ import annotations

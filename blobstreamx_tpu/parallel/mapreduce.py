@@ -66,6 +66,22 @@ class MapReduceProof:
 
 
 @dataclass
+class SuccinctProof:
+    """Succinct aggregate: ONE root proof whose statement covers the whole
+    range — verify cost independent of nb_map_jobs (the reference's
+    recursive MapReduce capability, circuits/builder.rs:301-396)."""
+
+    start_block: int
+    end_block: int
+    batch_size: int
+    nb_map_jobs: int
+    global_end_header: bytes
+    data_commitment: bytes
+    root_proof: object       # SystemProof of the top ReduceCircuit
+    root_publics: List[int]  # its 144 public bytes
+
+
+@dataclass
 class _Subchain:
     """Native mirror of MapReduceSubchainVariable for the reduce walk."""
 
@@ -130,7 +146,8 @@ class MapReduceProver:
     def __init__(self, batch_size: int, nb_map_jobs: int,
                  fetcher: InputDataFetcher = None, cfg=None,
                  checkpoint_dir: Optional[str] = None,
-                 max_workers: int = 1, devices: Optional[list] = None):
+                 max_workers: int = 1, devices: Optional[list] = None,
+                 succinct: bool = False):
         assert nb_map_jobs & (nb_map_jobs - 1) == 0, "power-of-two tree"
         self.batch_size = batch_size
         self.nb_map_jobs = nb_map_jobs
@@ -140,6 +157,20 @@ class MapReduceProver:
         self.max_workers = max_workers
         self.devices = devices
         self.template = SubchainMapCircuit(batch_size, self.fetcher)
+        # succinct mode: one ReduceCircuit template per tree level; level L
+        # verifies two level-(L-1) proofs in-circuit (circuits/aggregate.py)
+        self.succinct = succinct
+        self.reduce_templates: List[object] = []
+        if succinct:
+            from ..circuits.aggregate import ReduceCircuit
+
+            child = self.template.circuit
+            span = batch_size * 2
+            while span <= batch_size * nb_map_jobs and nb_map_jobs > 1:
+                rc = ReduceCircuit(child, span, self.cfg)
+                self.reduce_templates.append(rc)
+                child = rc.circuit
+                span *= 2
 
     # -- checkpointing ------------------------------------------------------
 
@@ -267,6 +298,80 @@ class MapReduceProver:
                 and final.end_block == agg.end_block
                 and final.end_header == agg.global_end_header
                 and final.data_merkle_root == agg.data_commitment)
+
+    # -- succinct aggregation ----------------------------------------------
+
+    @timing.timed("mapreduce.prove_succinct")
+    def prove_succinct(self, start_block: int, end_block: int,
+                       global_end_header: Optional[bytes] = None
+                       ) -> SuccinctProof:
+        """Prove all leaves, then walk the reduce tree with in-circuit
+        verification of child proofs: the result is ONE proof (reference
+        circuits/builder.rs:301-396 + plonky2 recursion)."""
+        assert self.succinct, "construct MapReduceProver(succinct=True)"
+        assert end_block - start_block <= self.batch_size * self.nb_map_jobs
+        if global_end_header is None:
+            global_end_header = self.fetcher.get_header(end_block).hash()
+
+        jobs = range(self.nb_map_jobs)
+        if self.max_workers > 1:
+            with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+                leaves = list(pool.map(
+                    lambda j: self._prove_job(j, start_block, end_block,
+                                              global_end_header), jobs))
+        else:
+            leaves = [self._prove_job(j, start_block, end_block,
+                                      global_end_header) for j in jobs]
+
+        level: List[Tuple[object, List[int]]] = [
+            (lf.proof, lf.publics) for lf in leaves]
+        span = self.batch_size * 2
+        for rc in self.reduce_templates:
+            nxt = []
+            for i in range(0, len(level), 2):
+                node_start = start_block + (i // 2) * span
+                proof, publics = rc.prove(
+                    node_start, end_block, global_end_header,
+                    level[i], level[i + 1], self.cfg)
+                nxt.append((proof, list(publics)))
+            level = nxt
+            span *= 2
+        assert len(level) == 1
+        root_proof, root_publics = level[0]
+        pb = bytes(root_publics)
+        data_commitment = pb[OUT_DATA_ROOT]
+        if pb[OUT_END_HEADER] != global_end_header:
+            raise ValueError("root subchain does not reach the global end")
+        return SuccinctProof(
+            start_block=start_block, end_block=end_block,
+            batch_size=self.batch_size, nb_map_jobs=self.nb_map_jobs,
+            global_end_header=global_end_header,
+            data_commitment=data_commitment,
+            root_proof=root_proof, root_publics=list(root_publics),
+        )
+
+    def verify_succinct(self, agg: SuccinctProof,
+                        start_header: Optional[bytes] = None) -> bool:
+        """Verify exactly ONE proof — the root of the reduce tree — and
+        bind its public bytes to the claimed statement. Cost is independent
+        of nb_map_jobs (contrast with `verify`, which re-verifies every
+        leaf)."""
+        if agg.nb_map_jobs != self.nb_map_jobs or not self.reduce_templates:
+            return False
+        root = self.reduce_templates[-1]
+        pb = bytes(agg.root_publics)
+        bound = (agg.start_block.to_bytes(8, "big")
+                 + agg.end_block.to_bytes(8, "big")
+                 + agg.global_end_header)
+        if pb[:IN_BYTES] != bound:
+            return False
+        if pb[OUT_END_HEADER] != agg.global_end_header:
+            return False
+        if pb[OUT_DATA_ROOT] != agg.data_commitment:
+            return False
+        if start_header is not None and pb[OUT_START_HEADER] != start_header:
+            return False
+        return root.verify(agg.root_proof, agg.root_publics, self.cfg)
 
 
 # -- artifact serde -----------------------------------------------------------
