@@ -141,6 +141,7 @@ class CircuitBuilder:
         self._pos_chains = 0
         self.range_checked: List[int] = []
         self.n_public = 0
+        self.n_public_inputs = 0  # evm_read bytes (precede evm_write bytes)
         self.public_wires: List[int] = []
         self._const_cache: Dict[int, int] = {}
         self._watches: List[Tuple[str, object]] = []
@@ -871,12 +872,14 @@ class CircuitBuilder:
             b = self.free_byte()
             self._public_byte(b.wire)
             bs.append(b)
+        self.n_public_inputs += 32
         return Bytes32Variable(tuple(bs))
 
     def evm_read_u64(self) -> U64Variable:
         bs = [self.free_byte() for _ in range(8)]
         for b in bs:
             self._public_byte(b.wire)
+        self.n_public_inputs += 8
         hi = self.pack4(bs[0], bs[1], bs[2], bs[3])
         lo = self.pack4(bs[4], bs[5], bs[6], bs[7])
         return U64Variable(U32Variable(lo.wire), U32Variable(hi.wire))
@@ -897,6 +900,7 @@ class CompiledCircuit:
 
     def __init__(self, builder: CircuitBuilder):
         self.b = builder
+        self.n_public_inputs = builder.n_public_inputs
         self.n_cpu_rows = 1 << max(4, (len(builder.rows) - 1).bit_length())
         self.cpu_air = cpu.CpuAir(builder.rows, self.n_cpu_rows)
         # empty accelerator tables are dropped entirely (smaller proofs and

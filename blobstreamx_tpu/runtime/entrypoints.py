@@ -104,8 +104,21 @@ def main(argv=None) -> int:
               f"names: {names}")
         return 2
     spec = REGISTRY[argv[0]]
-    factory: Callable[[], object] = lambda: make_circuit(spec)
-    return function_cli.entrypoint(factory, spec.name, argv[1:])
+    # BLOBSTREAMX_SCALE='{"vss":2,...}' instantiates the same template at a
+    # reduced shape (the reference's small/medium/large test pattern);
+    # production shape when unset.
+    scale = None
+    if os.environ.get("BLOBSTREAMX_SCALE"):
+        scale = json.loads(os.environ["BLOBSTREAMX_SCALE"])
+    build_dir = os.environ.get("BLOBSTREAMX_BUILD_DIR", "build")
+    cfg = None
+    if os.environ.get("BLOBSTREAMX_CFG"):
+        from ..proof import stark
+
+        cfg = stark.StarkConfig(**json.loads(os.environ["BLOBSTREAMX_CFG"]))
+    factory: Callable[[], object] = lambda: make_circuit(spec, scale=scale)
+    return function_cli.entrypoint(factory, spec.name, argv[1:],
+                                   cfg=cfg, build_dir=build_dir)
 
 
 if __name__ == "__main__":

@@ -82,5 +82,6 @@ def entrypoint(circuit_factory: Callable[[], object], name: str,
 
 
 def _n_inputs(circ) -> int:
-    """Public input byte count (inputs precede outputs in the stream)."""
-    return getattr(circ, "n_public_inputs", 0)
+    """Public input byte count (inputs precede outputs in the stream) —
+    tracked by the builder's evm_read_* calls (frontend/builder.py)."""
+    return circ.circuit.n_public_inputs
