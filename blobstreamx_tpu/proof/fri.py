@@ -145,20 +145,40 @@ def fri_prove(values: jnp.ndarray, transcript: Transcript, cfg: FriConfig):
     log_n = N.bit_length() - 1
     assert 1 << log_n == N
 
+    from ..parallel import mesh as pmesh
+
+    mesh = pmesh.active_mesh()
+
     trees: List[merkle_cap.MerkleTree] = []
     leaves_np: List[np.ndarray] = []
     cur = values
     log_layer = 0
+    # shard only layers big enough to amortize a shard_map program (the
+    # tail layers are tiny; a dense fold there is faster than any
+    # distribution — and on virtual-device CPU meshes each extra shape
+    # costs a full compile)
+    _SHARD_MIN = 128
+
     while cur.shape[0] > (1 << cfg.final_poly_bits):
         leaves = _pair_leaves(cur)
-        tree = merkle_cap.build_tree(
-            leaves, min(cfg.cap_height, (leaves.shape[0].bit_length() - 1))
-        )
+        cap_k = min(cfg.cap_height, (leaves.shape[0].bit_length() - 1))
+        if (mesh is not None and leaves.shape[0] >= _SHARD_MIN
+                and leaves.shape[0] % np.array(mesh.devices).size == 0):
+            digests = pmesh.sharded_leaf_digests(leaves, mesh)
+            tree = merkle_cap.build_tree_from_digests(digests, cap_k)
+        else:
+            tree = merkle_cap.build_tree(leaves, cap_k)
         transcript.observe_cap(tree.cap_ints())
         beta = transcript.get_extension_challenge()
         trees.append(tree)
         leaves_np.append(np.asarray(leaves))
-        cur = _fold(cur, beta, log_n, log_layer)
+        half = cur.shape[0] // 2
+        if mesh is not None and half >= _SHARD_MIN:
+            _, _, invs = _layer_domain(log_n, log_layer)
+            cur = pmesh.sharded_fold(cur[:half], cur[half:],
+                                     gl.from_int(invs), beta, mesh)
+        else:
+            cur = _fold(cur, beta, log_n, log_layer)
         log_layer += 1
 
     final_shift = pow(gl.GENERATOR, 1 << log_layer, gl.P)

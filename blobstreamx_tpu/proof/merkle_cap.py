@@ -116,6 +116,22 @@ def build_tree(leaves: jnp.ndarray, cap_height: int = 0) -> MerkleTree:
     return MerkleTree(layers=layers, cap_height=cap_height)
 
 
+def build_tree_from_digests(digests: jnp.ndarray,
+                            cap_height: int = 0) -> MerkleTree:
+    """Tree from precomputed leaf digests (n, 4, 2) — the sharded-prover
+    path (parallel/mesh.sharded_leaf_digests hashes rows across devices;
+    the small upper layers build here). Bit-identical to build_tree."""
+    n = digests.shape[0]
+    log_n = n.bit_length() - 1
+    assert 1 << log_n == n and cap_height <= log_n
+    layers = [np.asarray(digests)]
+    cur = digests
+    for _ in range(log_n - cap_height):
+        cur = pos.hash_two_to_one(cur[0::2], cur[1::2])
+        layers.append(np.asarray(cur))
+    return MerkleTree(layers=layers, cap_height=cap_height)
+
+
 def verify_opening(
     leaf_row: np.ndarray,
     index: int,

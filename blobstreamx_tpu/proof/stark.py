@@ -283,7 +283,21 @@ def _periodic_at_x(values: Sequence[int], x: int, log_n: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _commit_matrix(cols: jnp.ndarray, rate_bits: int, cap_height: int):
-    """cols: (c, n, 2) subgroup evals -> (coeffs, lde_rows_np, tree)."""
+    """cols: (c, n, 2) subgroup evals -> (coeffs, lde_rows_np, tree).
+
+    With an active mesh (parallel/mesh.use_mesh), the LDE is
+    column-sharded and the leaf hashing row-sharded over devices —
+    byte-identical proofs (exact integer field math), distributed compute
+    (SURVEY.md 2c north star)."""
+    from ..parallel import mesh as pmesh
+
+    m = pmesh.active_mesh()
+    if m is not None:
+        coeffs, lde = pmesh.sharded_lde(cols, rate_bits, m)
+        rows = jnp.moveaxis(lde, 0, 1)  # (N, c, 2)
+        digests = pmesh.sharded_leaf_digests(rows, m)
+        tree = merkle_cap.build_tree_from_digests(digests, cap_height)
+        return coeffs, np.asarray(rows), tree
     coeffs = nttmod.ntt(cols, inverse=True)
     n = cols.shape[1]
     N = n << rate_bits

@@ -103,3 +103,34 @@ def test_next_header_step_path():
     assert c.latest_block == 10001
     assert c.block_height_to_header_hash[10001] == fetcher.get_header(10001).hash()
     assert c.state_data_commitments[1] == fetcher.get_data_commitment(10000, 10001)
+
+
+def test_zombie_commit_dropped_by_generation_fence():
+    """A timed-out iteration that finishes late must not overwrite newer
+    work: its commit is dropped by the generation fence, and a stale
+    latest_block plan is dropped by the staleness check."""
+    fetcher = FixtureChainFetcher(FIXTURES, head=10005)
+    genesis = fetcher.get_header(10000).hash()
+    c = ct.BlobstreamXContract(genesis_height=10000, genesis_header=genesis)
+    service = LocalProverService(mock=True)
+    nh = NextHeaderCircuit(vss=2)
+    service.register(NH_FID, RegisteredFunction(
+        "next_header", nh, lambda pubs: bytes(pubs[40:104])
+    ))
+    op = BlobstreamXOperator(c, fetcher, service, HR_FID, NH_FID,
+                             OperatorConfig(data_commitment_max=4))
+
+    committed = []
+    # zombie from generation 0 while the loop is already at generation 3
+    op._generation = 3
+    assert not op._try_commit(0, c.latest_block,
+                              lambda: committed.append("zombie"))
+    assert committed == []
+    # current generation but stale plan (contract moved since)
+    assert not op._try_commit(3, c.latest_block + 1,
+                              lambda: committed.append("stale"))
+    assert committed == []
+    # current generation, fresh plan: commit goes through
+    assert op._try_commit(3, c.latest_block,
+                          lambda: committed.append("fresh"))
+    assert committed == ["fresh"]
