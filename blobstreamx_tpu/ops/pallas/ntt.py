@@ -131,6 +131,12 @@ def _ntt_planes(lo, hi, log_n: int, inverse: bool, interpret: bool = False):
         out_shape=(jax.ShapeDtypeStruct(lo.shape, jnp.uint32),
                    jax.ShapeDtypeStruct(hi.shape, jnp.uint32)),
         interpret=interpret,
+        # The unrolled stage chain holds several (n, 128) u32 intermediates
+        # per butterfly stage; the default 16 MiB scoped-VMEM budget rejects
+        # n >= 1024 at compile time. v5e/v5p have 128 MiB VMEM — raise the
+        # scoped limit so the full fused range (<= MAX_FUSED_N) compiles.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=lo.shape[1] * n * log_n * 40,
             bytes_accessed=4 * lo.shape[1] * n * 4,
