@@ -109,15 +109,32 @@ def build(air: Air, n: int, cfg: "StarkConfig" = None):
 
     Returns (ProverKey, VerifierKey). For AIRs without preprocessed
     columns both keys are empty.
+
+    Memoized per air instance: preprocessed columns are a pure function of
+    (air, n), so the LDE+commit here is identical across the repeat calls
+    prove_system/verify_system/inner_shapes make for the same table — for
+    a MapReduce run that proves one template nb_map_jobs times, and for
+    recursion-circuit construction (inner_shapes needs the vk cap), this
+    turns minutes of rebuilt NTT/Merkle work into a dict hit.
     """
     cfg = cfg or StarkConfig()
     if not air.pre_width:
         return ProverKey(None, None, None), VerifierKey(None)
+    key = (n, cfg.rate_bits, cfg.cap_height)
+    try:
+        cache = air.__dict__.setdefault("_build_cache", {})
+    except AttributeError:  # airs with __slots__: no caching
+        cache = None
+    if cache is not None and key in cache:
+        return cache[key]
     pre = air.preprocessed_columns(n)
     assert pre.shape == (n, air.pre_width)
     cols = jnp.moveaxis(gl.from_int(pre), 0, 1)
     coeffs, rows_np, tree = _commit_matrix(cols, cfg.rate_bits, cfg.cap_height)
-    return ProverKey(rows_np, coeffs, tree), VerifierKey(tree.cap_ints())
+    out = ProverKey(rows_np, coeffs, tree), VerifierKey(tree.cap_ints())
+    if cache is not None:
+        cache[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
