@@ -69,6 +69,17 @@ def device_tree_root(digests: jnp.ndarray, cap_height: int = 0) -> jnp.ndarray:
     if levels <= 0:
         return digests
 
+    if pos._on_tpu():
+        # TPU: unroll with shrinking shapes — exactly n - 2^cap_height
+        # hashes. (The fori_loop form below re-hashes a fixed-size buffer
+        # front every level: log2(n)/2x redundant work, kept only because
+        # XLA:CPU compile time is superlinear in graph size.)
+        cur = digests
+        for _ in range(levels):
+            cur = pos.hash_two_to_one(cur[..., 0::2, :, :],
+                                      cur[..., 1::2, :, :])
+        return cur
+
     def body(_, buf):
         h = pos.hash_two_to_one(buf[..., 0::2, :, :], buf[..., 1::2, :, :])
         return jnp.concatenate([h, h], axis=-3)
