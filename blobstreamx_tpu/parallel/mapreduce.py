@@ -147,11 +147,18 @@ class MapReduceProver:
                  fetcher: InputDataFetcher = None, cfg=None,
                  checkpoint_dir: Optional[str] = None,
                  max_workers: int = 1, devices: Optional[list] = None,
-                 succinct: bool = False):
+                 succinct: bool = False, prefetch: bool = True):
         assert nb_map_jobs & (nb_map_jobs - 1) == 0, "power-of-two tree"
         self.batch_size = batch_size
         self.nb_map_jobs = nb_map_jobs
         self.fetcher = fetcher or InputDataFetcher()
+        if prefetch:
+            # async witness pipeline: every map job's fetch is announced at
+            # prove() entry and overlaps with proving (parallel/prefetch.py;
+            # reference async hints, circuits/input.rs:125-126)
+            from .prefetch import PrefetchingFetcher
+
+            self.fetcher = PrefetchingFetcher(self.fetcher)
         self.cfg = cfg
         self.checkpoint_dir = checkpoint_dir
         self.max_workers = max_workers
@@ -212,6 +219,11 @@ class MapReduceProver:
                        "publics": list(map(int, publics))}, f)
         os.replace(tmp, path)
 
+    def _announce_prefetch(self, start_block: int, end_block: int) -> None:
+        if hasattr(self.fetcher, "prefetch_jobs"):
+            self.fetcher.prefetch_jobs(start_block, end_block,
+                                       self.batch_size, self.nb_map_jobs)
+
     # -- proving ------------------------------------------------------------
 
     @timing.timed("mapreduce.map_job")
@@ -242,6 +254,7 @@ class MapReduceProver:
         assert end_block - start_block <= self.batch_size * self.nb_map_jobs
         if global_end_header is None:
             global_end_header = self.fetcher.get_header(end_block).hash()
+        self._announce_prefetch(start_block, end_block)
 
         jobs = range(self.nb_map_jobs)
         if self.max_workers > 1:
@@ -312,6 +325,7 @@ class MapReduceProver:
         assert end_block - start_block <= self.batch_size * self.nb_map_jobs
         if global_end_header is None:
             global_end_header = self.fetcher.get_header(end_block).hash()
+        self._announce_prefetch(start_block, end_block)
 
         jobs = range(self.nb_map_jobs)
         if self.max_workers > 1:
