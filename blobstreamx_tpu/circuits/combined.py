@@ -201,8 +201,56 @@ class HeaderRangeSuccinct:
         self.join = HeaderRangeJoinCircuit(self.skip.circuit, root_compiled,
                                            self.cfg)
 
-    def prove(self, trusted_block: int, target_block: int):
-        trusted_header = self.fetcher.get_header(trusted_block).hash()
+    @property
+    def circuit(self) -> CompiledCircuit:
+        """The final (join) circuit — the one proof a consumer verifies;
+        also gives the function CLI its public-input metadata."""
+        return self.join.circuit
+
+    def templates(self) -> Dict[str, CompiledCircuit]:
+        """Every compiled circuit the pipeline proves, by stage name (the
+        reference's build artifact is likewise a set: map circuit, reduce
+        circuit, outer circuit — circuits/builder.rs:301-396)."""
+        d = {"skip": self.skip.circuit, "map": self.mr.template.circuit}
+        for i, rc in enumerate(self.mr.reduce_templates):
+            d[f"reduce{i}"] = rc.circuit
+        d["join"] = self.join.circuit
+        return d
+
+    def build_function_keys(self, build_dir: str, name: str, cfg=None):
+        """Function-CLI `build`: preprocessed keys for every stage circuit
+        (runtime/function.py protocol for orchestrated multi-proof
+        entrypoints)."""
+        import os
+
+        from ..proof import serde
+
+        cfg = cfg or self.cfg
+        tables = []
+        for tname, c in self.templates().items():
+            pks, vks = c.build_keys(cfg)
+            serde.save_keys(
+                os.path.join(build_dir, f"{name}.{tname}.keys"), pks, vks)
+            tables.extend(f"{tname}:{t}" for t in c._table_names())
+        return tables
+
+    def prove_function(self, input_bytes: bytes, cfg=None, **_):
+        """Function-CLI `prove`: ABI-packed input bytes -> (proof, publics)
+        of the ONE final join proof (runtime/function.py protocol)."""
+        assert len(input_bytes) == SKIP_IN, (
+            f"header_range input must be {SKIP_IN} bytes "
+            f"(trusted_block ‖ trusted_header ‖ target_block)")
+        trusted_block = int.from_bytes(input_bytes[:8], "big")
+        trusted_header = bytes(input_bytes[8:40])
+        target_block = int.from_bytes(input_bytes[40:48], "big")
+        proof, publics, _, _ = self.prove(trusted_block, target_block,
+                                          trusted_header=trusted_header)
+        return proof, publics
+
+    def prove(self, trusted_block: int, target_block: int,
+              trusted_header: Optional[bytes] = None):
+        if trusted_header is None:
+            trusted_header = self.fetcher.get_header(trusted_block).hash()
         skip_proof, skip_publics = self.skip.prove(trusted_block,
                                                    target_block, self.cfg)
         target_hash = bytes(skip_publics[SKIP_IN:SKIP_PUB])

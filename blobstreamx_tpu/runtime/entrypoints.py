@@ -60,7 +60,7 @@ REGISTRY: Dict[str, EntrypointSpec] = {
 
 
 def make_circuit(spec: EntrypointSpec, scale: Optional[dict] = None,
-                 fetcher=None):
+                 fetcher=None, cfg=None):
     """Instantiate the circuit template for an entrypoint.
 
     scale: optional dict overriding {vss, nb_map_jobs, batch_size, ed_nbits}
@@ -74,12 +74,27 @@ def make_circuit(spec: EntrypointSpec, scale: Optional[dict] = None,
 
         return NextHeaderCircuit(chain_id=spec.chain_id, vss=vss,
                                  fetcher=fetcher, ed_nbits=ed_nbits)
+    nb_map_jobs = scale.get("nb_map_jobs", spec.nb_map_jobs)
+    batch_size = scale.get("batch_size", spec.batch_size)
+    if nb_map_jobs > 1:
+        # Production shape: the data commitment runs through map jobs +
+        # succinct MapReduce aggregation, composed with the skip proof by
+        # the join circuit — ONE final proof (reference
+        # circuits/builder.rs:301-409). The inline monolith below is only
+        # for degenerate single-job shapes (its event list scales with
+        # nb_map_jobs*batch_size and is infeasible at 32x32).
+        from ..circuits.combined import HeaderRangeSuccinct
+
+        return HeaderRangeSuccinct(
+            chain_id=spec.chain_id, vss=vss, nb_map_jobs=nb_map_jobs,
+            batch_size=batch_size, fetcher=fetcher, ed_nbits=ed_nbits,
+            cfg=cfg)
     from ..circuits.header_range import HeaderRangeCircuit
 
     return HeaderRangeCircuit(
         chain_id=spec.chain_id, vss=vss,
-        nb_map_jobs=scale.get("nb_map_jobs", spec.nb_map_jobs),
-        batch_size=scale.get("batch_size", spec.batch_size),
+        nb_map_jobs=nb_map_jobs,
+        batch_size=batch_size,
         fetcher=fetcher, ed_nbits=ed_nbits,
     )
 
@@ -116,7 +131,8 @@ def main(argv=None) -> int:
         from ..proof import stark
 
         cfg = stark.StarkConfig(**json.loads(os.environ["BLOBSTREAMX_CFG"]))
-    factory: Callable[[], object] = lambda: make_circuit(spec, scale=scale)
+    factory: Callable[[], object] = lambda: make_circuit(spec, scale=scale,
+                                                        cfg=cfg)
     return function_cli.entrypoint(factory, spec.name, argv[1:],
                                    cfg=cfg, build_dir=build_dir)
 

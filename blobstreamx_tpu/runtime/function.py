@@ -40,12 +40,18 @@ def entrypoint(circuit_factory: Callable[[], object], name: str,
     if argv[0] == "build":
         t0 = time.time()
         circ = circuit_factory()
-        pks, vks = circ.circuit.build_keys(cfg)
-        serde.save_keys(key_path, pks, vks)
+        if hasattr(circ, "build_function_keys"):
+            # orchestrated multi-proof entrypoint (e.g. HeaderRangeSuccinct:
+            # skip + map + reduce tree + join): one keys file per stage
+            tables = circ.build_function_keys(build_dir, name, cfg)
+        else:
+            pks, vks = circ.circuit.build_keys(cfg)
+            serde.save_keys(key_path, pks, vks)
+            tables = circ.circuit._table_names()
         meta = {
             "name": name,
             "n_public_inputs": _n_inputs(circ),
-            "tables": circ.circuit._table_names(),
+            "tables": tables,
         }
         with open(os.path.join(build_dir, f"{name}.json"), "w") as f:
             json.dump(meta, f)
@@ -58,12 +64,16 @@ def entrypoint(circuit_factory: Callable[[], object], name: str,
     input_hex = req["data"]["input"]
     input_bytes = bytes.fromhex(input_hex[2:] if input_hex.startswith("0x") else input_hex)
     circ = circuit_factory()
-    pks = None
-    if os.path.exists(key_path):
-        pks, _ = serde.load_keys(key_path)
     t0 = time.time()
-    pub_in = {i: v for i, v in enumerate(input_bytes)}
-    proof, publics = circ.circuit.prove(pub_in, cfg, pks)
+    if hasattr(circ, "prove_function"):
+        proof, publics = circ.prove_function(input_bytes, cfg=cfg,
+                                             build_dir=build_dir, name=name)
+    else:
+        pks = None
+        if os.path.exists(key_path):
+            pks, _ = serde.load_keys(key_path)
+        pub_in = {i: v for i, v in enumerate(input_bytes)}
+        proof, publics = circ.circuit.prove(pub_in, cfg, pks)
     n_in = len(input_bytes)
     output_bytes = bytes(publics[n_in:])
     out = {
