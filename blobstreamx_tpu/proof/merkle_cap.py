@@ -53,6 +53,9 @@ class MerkleTree:
         return out
 
 
+_UNROLL_FLOOR = 4096
+
+
 def device_tree_root(digests: jnp.ndarray, cap_height: int = 0) -> jnp.ndarray:
     """Reduce leaf digests (..., n, 4, 2) to the cap (..., 2^cap_height,
     4, 2) on device with ONE permutation instance (lax.fori_loop with a
@@ -70,15 +73,22 @@ def device_tree_root(digests: jnp.ndarray, cap_height: int = 0) -> jnp.ndarray:
         return digests
 
     if pos._on_tpu():
-        # TPU: unroll with shrinking shapes — exactly n - 2^cap_height
-        # hashes. (The fori_loop form below re-hashes a fixed-size buffer
-        # front every level: log2(n)/2x redundant work, kept only because
-        # XLA:CPU compile time is superlinear in graph size.)
+        # TPU: unroll the LARGE levels with shrinking shapes (each level
+        # halves the work, vs the fori_loop form's fixed-size re-hash =
+        # log2(n)/2x redundancy), but only while a level still holds >=
+        # _UNROLL_FLOOR digests — below that the work is negligible and
+        # each extra shape would cost its own kernel compile. The small
+        # tail reuses the single fixed-shape fori_loop instance.
         cur = digests
-        for _ in range(levels):
+        while cur.shape[-3] > max(_UNROLL_FLOOR, 1 << cap_height):
             cur = pos.hash_two_to_one(cur[..., 0::2, :, :],
                                       cur[..., 1::2, :, :])
-        return cur
+        digests = cur
+        n = digests.shape[-3]
+        log_n = n.bit_length() - 1
+        levels = log_n - cap_height
+        if levels <= 0:
+            return digests
 
     def body(_, buf):
         h = pos.hash_two_to_one(buf[..., 0::2, :, :], buf[..., 1::2, :, :])
