@@ -83,3 +83,99 @@ class LocalProverService:
 
     def get_request(self, request_id: str) -> ProofRequest:
         return self.requests[request_id]
+
+
+class SubprocessProverService:
+    """Process-isolated prover service — the hosted platform's model: each
+    proof request runs in its own prover process (reference succinct.json
+    per-entrypoint binaries + `PROVE_BINARY_0x<id>` env routing,
+    .env.example:24-25), so a crashed or OOM'd prove never takes the
+    operator down, and requests run concurrently across processes/hosts.
+
+    Each registered function id maps to an entrypoint name; a request
+    writes `input.json`, launches `python -m
+    blobstreamx_tpu.runtime.entrypoints <name> prove input.json` in a
+    scratch directory (env: BLOBSTREAMX_SCALE / BLOBSTREAMX_CFG /
+    BLOBSTREAMX_BUILD_DIR forwarded), and `get_request` reaps the
+    process and parses `output.json`. `command` can be overridden per
+    registration (the reference's PROVE_BINARY override)."""
+
+    def __init__(self, workdir: Optional[str] = None,
+                 env: Optional[Dict[str, str]] = None):
+        import os
+        import tempfile
+
+        self.workdir = workdir or tempfile.mkdtemp(prefix="bsx-prover-")
+        self.env = dict(env or {})
+        self.entrypoints: Dict[bytes, Tuple[str, Optional[List[str]]]] = {}
+        self.requests: Dict[str, ProofRequest] = {}
+        self._procs: Dict[str, object] = {}
+        self._dirs: Dict[str, str] = {}
+        os.makedirs(self.workdir, exist_ok=True)
+
+    def register(self, function_id: bytes, entrypoint: str,
+                 command: Optional[List[str]] = None):
+        """command: argv prefix run as `command prove input.json`; defaults
+        to this interpreter's entrypoints CLI for `entrypoint`."""
+        self.entrypoints[function_id] = (entrypoint, command)
+
+    def submit_request(self, function_id: bytes, input_bytes: bytes) -> str:
+        import json
+        import os
+        import subprocess
+        import sys
+
+        rid = hashlib.sha256(
+            function_id + input_bytes + str(len(self.requests)).encode()
+        ).hexdigest()[:16]
+        req = ProofRequest(rid, function_id, input_bytes)
+        self.requests[rid] = req
+        ent = self.entrypoints.get(function_id)
+        if ent is None:
+            req.status, req.error = "failure", "unknown function id"
+            return rid
+        name, command = ent
+        rdir = os.path.join(self.workdir, rid)
+        os.makedirs(rdir, exist_ok=True)
+        with open(os.path.join(rdir, "input.json"), "w") as fh:
+            json.dump({"data": {"input": "0x" + input_bytes.hex()}}, fh)
+        argv = list(command) if command else [
+            sys.executable, "-m", "blobstreamx_tpu.runtime.entrypoints", name]
+        env = {**os.environ, **self.env}
+        req.status = "pending"
+        self._dirs[rid] = rdir
+        self._procs[rid] = subprocess.Popen(
+            argv + ["prove", "input.json"], cwd=rdir, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        req.wall_seconds = time.time()
+        return rid
+
+    def get_request(self, request_id: str,
+                    timeout: Optional[float] = None) -> ProofRequest:
+        """Reap the prover process (blocking up to `timeout`) and parse
+        output.json. Safe to call repeatedly; terminal states stick."""
+        import json
+        import os
+
+        req = self.requests[request_id]
+        proc = self._procs.get(request_id)
+        if req.status != "pending" or proc is None:
+            return req
+        try:
+            rc = proc.wait(timeout=timeout)
+        except Exception:
+            return req  # still running
+        req.wall_seconds = time.time() - req.wall_seconds
+        out_path = os.path.join(self._dirs[request_id], "output.json")
+        if rc != 0 or not os.path.exists(out_path):
+            err = proc.stderr.read().decode(errors="replace")[-2000:]
+            req.status, req.error = "failure", f"rc={rc}: {err}"
+            return req
+        with open(out_path) as fh:
+            out = json.load(fh)
+        hexs = out["data"]["output"]
+        req.output_bytes = bytes.fromhex(
+            hexs[2:] if hexs.startswith("0x") else hexs)
+        req.proof = out["data"].get("proof")
+        req.status = "success"
+        return req

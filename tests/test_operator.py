@@ -134,3 +134,50 @@ def test_zombie_commit_dropped_by_generation_fence():
     assert op._try_commit(3, c.latest_block,
                           lambda: committed.append("fresh"))
     assert committed == ["fresh"]
+
+
+def test_subprocess_prover_service_roundtrip(tmp_path):
+    """Process-isolated prover service (reference platform model: one
+    prover process per request, PROVE_BINARY routing). Plumbing is tested
+    with a stub prover binary so no STARK runs in-process; the real
+    command default is the entrypoints CLI."""
+    import json
+    import sys
+
+    from blobstreamx_tpu.runtime.service import SubprocessProverService
+
+    stub = tmp_path / "stub_prover.py"
+    stub.write_text(
+        "import json, sys\n"
+        "assert sys.argv[1] == 'prove'\n"
+        "req = json.load(open(sys.argv[2]))\n"
+        "inp = req['data']['input']\n"
+        "raw = bytes.fromhex(inp[2:])\n"
+        "out = {'type': 'res_bytes', 'data': {'input': inp,\n"
+        "       'output': '0x' + raw[::-1].hex(), 'proof': {'stub': 1}}}\n"
+        "json.dump(out, open('output.json', 'w'))\n")
+
+    svc = SubprocessProverService(workdir=str(tmp_path / "jobs"))
+    fid = b"\x01" * 32
+    svc.register(fid, "stub", command=[sys.executable, str(stub)])
+    # two concurrent requests, distinct ids
+    r1 = svc.submit_request(fid, b"\xaa\xbb\xcc")
+    r2 = svc.submit_request(fid, b"\x01\x02")
+    assert r1 != r2
+    q1 = svc.get_request(r1, timeout=30)
+    q2 = svc.get_request(r2, timeout=30)
+    assert q1.status == "success" and q1.output_bytes == b"\xcc\xbb\xaa"
+    assert q2.status == "success" and q2.output_bytes == b"\x02\x01"
+    assert q1.proof == {"stub": 1}
+    # terminal state sticks
+    assert svc.get_request(r1).status == "success"
+    # unknown function id fails cleanly
+    r3 = svc.submit_request(b"\x02" * 32, b"")
+    assert svc.get_request(r3).status == "failure"
+    # crashing prover surfaces stderr, not an exception
+    bad = tmp_path / "bad_prover.py"
+    bad.write_text("import sys; sys.exit(3)\n")
+    svc.register(b"\x03" * 32, "bad", command=[sys.executable, str(bad)])
+    r4 = svc.submit_request(b"\x03" * 32, b"\x00")
+    q4 = svc.get_request(r4, timeout=30)
+    assert q4.status == "failure" and "rc=3" in q4.error
