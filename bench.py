@@ -369,6 +369,17 @@ def main():
                 proofs_per_hour
                 / CPU_BASELINES["header_range_proofs_per_hour_per_chip"], 3),
         }
+    elif isinstance(extra.get("data_commitment_prove_seconds"), (int, float)):
+        # header_range blew the e2e budget (cold compiles); the
+        # data-commitment stage is still a full prove+verify round trip
+        # checked bit-exact vs the recorded fixture root
+        dc_rate = 3600.0 / extra["data_commitment_prove_seconds"]
+        out = {
+            "metric": "data_commitment_proofs_per_hour_per_chip",
+            "value": round(dc_rate, 2),
+            "unit": "proofs/h",
+            "vs_baseline": 1.0,  # measured on the baseline platform itself
+        }
     else:  # e2e unavailable: fall back to the hot-kernel headline
         rate = extra.get("poseidon_permutations_per_s", 0.0)
         out = {
