@@ -233,7 +233,7 @@ def bench_e2e(extra):
     from blobstreamx_tpu.circuits.next_header import NextHeaderCircuit
     from blobstreamx_tpu.circuits.input import SkipInputFetcher
 
-    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "2400"))
+    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "900"))
     t_start = time.perf_counter()
     # hard stop: the surrounding suite must emit its JSON line even if a
     # cold-compile prove blows the budget (XLA:CPU compiles of the
